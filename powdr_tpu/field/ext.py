@@ -97,6 +97,25 @@ def pow(a: jnp.ndarray, e: int) -> jnp.ndarray:
     return result
 
 
+def pow_scan(a: jnp.ndarray, e: int) -> jnp.ndarray:
+    """Square-and-multiply under lax.scan (small graph for huge exponents)."""
+    bits = []
+    e = int(e)
+    while e:
+        bits.append(e & 1)
+        e >>= 1
+    bits_arr = jnp.asarray(np.array(bits, dtype=np.bool_))
+
+    def body(carry, bit):
+        result, base = carry
+        result = jnp.where(bit, mul(result, base), result)
+        return (result, sqr(base)), None
+
+    init = (jnp.broadcast_to(one(a.shape[:-1]), a.shape).astype(jnp.uint32), a)
+    (result, _), _ = jax.lax.scan(body, init, bits_arr)
+    return result
+
+
 def _f2_mul(x0, x1, y0, y1):
     """(x0 + x1 u)(y0 + y1 u) with u^2 = W."""
     m = bb.mont_mul

@@ -1,0 +1,60 @@
+"""Merkle tree over Poseidon2 digests, batched on device.
+
+Replaces the Poseidon2 Merkle commitment of the reference's stark-backend
+fork (SURVEY.md §2 'Native components' item 2).  Leaves are row digests of
+committed matrices; the tree is built with log2(n) batched 2-to-1
+compressions.  On a sharded mesh the leaf hashing and lower tree levels are
+embarrassingly parallel across chips; only the top log2(num_chips) levels
+need gathered digests (see powdr_tpu.parallel)."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import List
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import poseidon2 as p2
+
+
+@dataclass
+class MerkleTree:
+    """layers[0] = leaf digests (n, 8); layers[-1] = root (1, 8)."""
+
+    layers: List[jnp.ndarray]
+
+    @property
+    def root(self) -> jnp.ndarray:
+        return self.layers[-1][0]
+
+    def open(self, index: int) -> np.ndarray:
+        """Sibling path for a leaf, shape (depth, 8) (host-side)."""
+        sibs = []
+        idx = index
+        for layer in self.layers[:-1]:
+            sibs.append(np.asarray(layer[idx ^ 1]))
+            idx >>= 1
+        return np.array(sibs, dtype=np.uint32).reshape(-1, p2.DIGEST)
+
+
+def build(leaf_digests: jnp.ndarray) -> MerkleTree:
+    """leaf_digests: (n, 8) with n a power of two."""
+    n = leaf_digests.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    layers = [leaf_digests]
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        cur = p2.compress(cur[0::2], cur[1::2])
+        layers.append(cur)
+    return MerkleTree(layers)
+
+
+def verify_path(root: np.ndarray, index: int, leaf_digest: np.ndarray, path: np.ndarray) -> bool:
+    """Host-side path check (verifier is host logic; proofs are tiny)."""
+    cur = jnp.asarray(leaf_digest).reshape(1, p2.DIGEST)
+    idx = index
+    for sib in path:
+        s = jnp.asarray(sib).reshape(1, p2.DIGEST)
+        cur = p2.compress(s, cur) if idx & 1 else p2.compress(cur, s)
+        idx >>= 1
+    return bool((np.asarray(cur[0]) == np.asarray(root)).all())

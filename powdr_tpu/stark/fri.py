@@ -1,0 +1,262 @@
+"""FRI low-degree test over the BabyBear quartic extension.
+
+Prover folds on device (vectorized over the codeword; fold sums become
+`psum`-style collectives when the codeword is sharded — see
+powdr_tpu.parallel); the verifier is host-side python over the tiny query
+transcripts.  Replaces the FRI commit/query phases of the reference's
+stark-backend fork (SURVEY.md §7 step 5, BASELINE.md north star).
+
+Codeword: evaluations of a polynomial over the coset `shift * G_n`
+(natural order), shape (n, 4) uint32 Montgomery (EF4).
+Fold rule: g(x^2) = (f(x) + f(-x))/2 + beta * (f(x) - f(-x)) / (2x),
+with -x = x * w^(n/2) living at index i + n/2.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext
+from ..hash import merkle
+from ..hash import poseidon2 as p2
+from .challenger import Challenger
+from .config import StarkConfig
+
+
+# -- host-side domain tables -------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _pow_table(base: int, n: int) -> np.ndarray:
+    """[base^0 .. base^(n-1)] canonical uint32 (vectorized bit trick)."""
+    out = np.ones(n, dtype=np.uint64)
+    j = np.arange(n, dtype=np.uint64)
+    bk = base % bb.P
+    bit = 0
+    while (1 << bit) < max(n, 2):
+        sel = (j >> bit) & 1 == 1
+        out[sel] = out[sel] * bk % bb.P
+        bk = bk * bk % bb.P
+        bit += 1
+    return out.astype(np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _fold_inv2x_table(log_n: int, shift: int) -> np.ndarray:
+    """Montgomery table of 1/(2*x_i), x_i = shift * w_n^i, i in [0, n/2)."""
+    n = 1 << log_n
+    w_inv = pow(bb.py_root_of_unity(log_n), bb.P - 2, bb.P)
+    c = pow(2 * shift % bb.P, bb.P - 2, bb.P)
+    tbl = _pow_table(w_inv, n // 2).astype(np.uint64) * c % bb.P
+    return bb.np_to_mont(tbl.astype(np.uint32))
+
+
+# -- device fold -------------------------------------------------------------
+
+
+@jax.jit
+def _fold_codeword(cw: jnp.ndarray, beta: jnp.ndarray, inv2x: jnp.ndarray) -> jnp.ndarray:
+    h = cw.shape[0] // 2
+    lo, hi = cw[:h], cw[h:]
+    s = ext.add(lo, hi)
+    d = ext.sub(lo, hi)
+    inv2 = bb.py_to_mont(pow(2, bb.P - 2, bb.P))
+    even = ext.mul_base(s, jnp.uint32(inv2))
+    odd = ext.mul(jnp.broadcast_to(beta, d.shape), ext.mul_base(d, inv2x))
+    return ext.add(even, odd)
+
+
+@jax.jit
+def _pair_leaves(cw: jnp.ndarray) -> jnp.ndarray:
+    """(n,4) codeword -> (n/2, 8) leaf rows [f(x_i), f(-x_i)]."""
+    h = cw.shape[0] // 2
+    return jnp.concatenate([cw[:h], cw[h:]], axis=-1)
+
+
+# -- proof containers --------------------------------------------------------
+
+
+@dataclass
+class FriQueryLayer:
+    pair: np.ndarray  # (2, 4) canonical: [f(x_i), f(-x_i)]
+    path: np.ndarray  # (depth, 8) Montgomery digests
+
+
+@dataclass
+class FriQuery:
+    index: int
+    layers: List[FriQueryLayer]
+
+
+@dataclass
+class FriProof:
+    layer_roots: List[np.ndarray]  # Montgomery digests (8,)
+    final_poly: np.ndarray  # (final_len, 4) canonical coefficients
+    pow_witness: int
+    queries: List[FriQuery]
+
+
+# -- prover ------------------------------------------------------------------
+
+
+def prove(
+    codeword: jnp.ndarray,
+    config: StarkConfig,
+    challenger: Challenger,
+    log_shift_pow: int = 0,
+) -> FriProof:
+    """Run FRI on `codeword` (evals over coset shift^(2^log_shift_pow) * G_n).
+
+    The transcript must already have absorbed everything binding the
+    codeword (e.g. the PCS batch commitment roots and claimed evals)."""
+    n = codeword.shape[0]
+    log_n = int(np.log2(n))
+    final_len = 1 << config.log_final_poly_len
+    stop_n = final_len * config.blowup
+
+    layers: List[Tuple[jnp.ndarray, merkle.MerkleTree]] = []
+    roots: List[np.ndarray] = []
+    cw = codeword
+    shift_pow = log_shift_pow
+    while cw.shape[0] > stop_n:
+        tree = merkle.build(p2.hash_rows(_pair_leaves(cw)))
+        root = np.asarray(tree.root)
+        roots.append(root)
+        challenger.observe_digest(root)
+        beta = challenger.sample_ext()
+        beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
+        cur_log = int(np.log2(cw.shape[0]))
+        shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+        inv2x = jnp.asarray(_fold_inv2x_table(cur_log, shift))
+        layers.append((cw, tree))
+        cw = _fold_codeword(cw, beta_m, inv2x)
+        shift_pow += 1
+
+    # final polynomial: interpolate the remaining codeword and un-shift
+    from ..ntt import intt
+    from ..ntt.ntt import _shift_powers
+
+    final_n = cw.shape[0]
+    final_log = int(np.log2(final_n))
+    shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+    coeffs = intt(jnp.moveaxis(cw, -1, 0))  # (4, final_n): per-component intt
+    sp = jnp.asarray(_shift_powers(final_log, shift, inverse=True))
+    coeffs = bb.mont_mul(coeffs, sp)
+    coeffs = np.asarray(bb.from_mont(jnp.moveaxis(coeffs, 0, -1)))  # (final_n, 4)
+    assert (coeffs[final_len:] == 0).all(), "folded codeword exceeds degree bound"
+    final_poly = coeffs[:final_len]
+    for c in final_poly:
+        challenger.observe_ext(c)
+
+    pow_witness = challenger.grind(config.proof_of_work_bits)
+
+    # queries
+    queries = []
+    host_layers = [(np.asarray(bb.from_mont(_pair_leaves(c))), t) for c, t in layers]
+    for _ in range(config.num_queries):
+        q = challenger.sample_bits(log_n - 1)
+        idx = q
+        qlayers = []
+        for pairs, tree in host_layers:
+            h = pairs.shape[0]
+            i = idx % h
+            qlayers.append(
+                FriQueryLayer(pair=pairs[i].reshape(2, 4).copy(), path=tree.open(i))
+            )
+            idx = i  # the folded value g[i] lives at index i of the next codeword
+        queries.append(FriQuery(index=q, layers=qlayers))
+
+    return FriProof(layer_roots=roots, final_poly=final_poly, pow_witness=pow_witness, queries=queries)
+
+
+# -- verifier (host-side) ----------------------------------------------------
+
+
+def _py_ext_fold(lo, hi, beta, x):
+    inv2 = pow(2, bb.P - 2, bb.P)
+    s = tuple((a + b) * inv2 % bb.P for a, b in zip(lo, hi))
+    inv2x = pow(2 * x % bb.P, bb.P - 2, bb.P)
+    d = tuple((a - b) * inv2x % bb.P for a, b in zip(lo, hi))
+    return tuple((a + c) % bb.P for a, c in zip(s, ext.py_mul(beta, d)))
+
+
+def _py_eval_ext_poly(coeffs, x):
+    """Evaluate poly with EF4 coeffs at base point x (canonical ints)."""
+    acc = (0, 0, 0, 0)
+    for c in reversed(coeffs):
+        acc = tuple(v * x % bb.P for v in acc)
+        acc = tuple((a + int(b)) % bb.P for a, b in zip(acc, c))
+    return acc
+
+
+def verify(
+    proof: FriProof,
+    log_n: int,
+    config: StarkConfig,
+    challenger: Challenger,
+    log_shift_pow: int = 0,
+    open_input=None,
+):
+    """Verify a FRI proof; returns the list of (query_index, first_layer_pair)
+    so a PCS wrapper can bind query values to its own openings via
+    `open_input(query_index) -> expected (2,4) pair` (or None to skip).
+
+    Raises AssertionError on any inconsistency."""
+    final_len = 1 << config.log_final_poly_len
+    n = 1 << log_n
+
+    betas = []
+    for root in proof.layer_roots:
+        challenger.observe_digest(root)
+        betas.append(challenger.sample_ext())
+    for c in proof.final_poly:
+        challenger.observe_ext(c)
+    assert challenger.check_witness(config.proof_of_work_bits, proof.pow_witness), "bad PoW"
+
+    num_layers = len(proof.layer_roots)
+    assert (1 << (log_n - num_layers)) == final_len * config.blowup, "layer count mismatch"
+
+    results = []
+    for query in proof.queries:
+        q = challenger.sample_bits(log_n - 1)
+        assert q == query.index, "query index mismatch with transcript"
+        idx = q
+        value: Optional[tuple] = None
+        cur_log = log_n
+        shift_pow = log_shift_pow
+        for l, (layer, beta, root) in enumerate(zip(query.layers, betas, proof.layer_roots)):
+            h = 1 << (cur_log - 1)
+            i = idx % h
+            # check merkle path
+            leaf_row = bb.np_to_mont(layer.pair.reshape(-1))
+            digest = np.asarray(p2.hash_rows(jnp.asarray(leaf_row[None, :])))[0]
+            assert merkle.verify_path(root, i, digest, layer.path), f"bad path layer {l}"
+            lo, hi = tuple(int(v) for v in layer.pair[0]), tuple(int(v) for v in layer.pair[1])
+            if value is not None:
+                expect = lo if i == idx else hi
+                assert value == expect, f"fold mismatch at layer {l}"
+            elif open_input is not None:
+                pair = open_input(q)
+                if pair is not None:
+                    assert tuple(int(v) for v in pair[0]) == lo, "input lo mismatch"
+                    assert tuple(int(v) for v in pair[1]) == hi, "input hi mismatch"
+            shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+            w = bb.py_root_of_unity(cur_log)
+            x = shift * pow(w, i, bb.P) % bb.P
+            value = _py_ext_fold(lo, hi, beta, x)
+            idx = i  # folded value's index in the next codeword
+            cur_log -= 1
+            shift_pow += 1
+        # final check: value equals final_poly evaluated at the fold point
+        shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+        w = bb.py_root_of_unity(cur_log)
+        x = shift * pow(w, idx, bb.P) % bb.P
+        assert value == _py_eval_ext_poly(proof.final_poly, x), "final poly mismatch"
+        results.append((q, query.layers[0].pair if query.layers else None))
+    return results

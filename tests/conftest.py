@@ -1,17 +1,26 @@
 """Test configuration: force an 8-device virtual CPU mesh.
 
-Tests exercise correctness and sharding semantics on CPU (fast iteration,
-deterministic); the real TPU chip is reserved for bench.py.  Env vars must be
-set before jax is imported anywhere.
-"""
+The container boots every python process with the `axon` PJRT plugin
+(sitecustomize sets jax_platforms="axon,cpu"), which tunnels each dispatch
+to the single real TPU chip — ~10ms per eager op.  Tests exercise
+correctness and sharding semantics, so they run on a local 8-device
+virtual CPU platform; bench.py is the only entry point that should use the
+real chip.  The axon plugin registers at interpreter boot, so we override
+jax_platforms and clear the already-initialized backends here."""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+).strip()
 
-import jax  # noqa: E402
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+from jax.extend.backend import clear_backends
+
+clear_backends()
+assert jax.devices()[0].platform == "cpu"
+assert len(jax.devices()) == 8
 
 import numpy as np
 import pytest

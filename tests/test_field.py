@@ -130,5 +130,5 @@ def test_ext_pow_order():
     import jax
 
     a = bb.to_mont(jnp.asarray(np.array([[5, 7, 11, 13]], np.uint32)))
-    r = np.asarray(bb.from_mont(jax.jit(lambda v: ext.pow(v, P**4 - 1))(a)))
+    r = np.asarray(bb.from_mont(jax.jit(lambda v: ext.pow_scan(v, P**4 - 1))(a)))
     np.testing.assert_array_equal(r[0], [1, 0, 0, 0])
