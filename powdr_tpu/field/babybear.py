@@ -131,6 +131,22 @@ def inv(a: jnp.ndarray) -> jnp.ndarray:
     return mont_pow(a, P - 2)
 
 
+def sum_mod(x: jnp.ndarray, axis: int = 0) -> jnp.ndarray:
+    """Modular sum along `axis` by halving tree-reduction (log2 steps of
+    vectorized conditional-subtract adds; avoids 64-bit accumulation,
+    which TPUs lack)."""
+    x = jnp.moveaxis(x, axis, 0)
+    n = x.shape[0]
+    pow2 = 1 << (n - 1).bit_length()
+    if pow2 != n:
+        pad = [(0, pow2 - n)] + [(0, 0)] * (x.ndim - 1)
+        x = jnp.pad(x, pad)
+    while x.shape[0] > 1:
+        h = x.shape[0] // 2
+        x = add(x[:h], x[h:])
+    return x[0]
+
+
 def batch_inv(a: jnp.ndarray) -> jnp.ndarray:
     """Elementwise inverse. Fully vectorized pow chain (~43 muls) rather than
     Montgomery's serial trick - lane parallelism beats op count on the VPU."""

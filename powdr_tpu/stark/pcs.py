@@ -1,0 +1,321 @@
+"""Polynomial commitment scheme: coset-LDE + Merkle commit, batched
+openings at extension points reduced to a single FRI instance.
+
+This is the TPU replacement for the two-adic FRI PCS the reference uses
+through the stark-backend fork (SURVEY.md §1 L5): matrices of trace
+columns are low-degree-extended onto the coset `g*K` (blowup 2^k), rows
+are Poseidon2-hashed into a Merkle tree, and openings at out-of-domain
+points z are proven by FRI on the random linear combination
+    sum_k alpha^k * (p_k(x) - p_k(z)) / (x - z).
+
+Device work: per-column LDE (NTT pipeline), batched barycentric
+evaluation (one EF4 batch-inverse + modular tree-reductions), reduced
+codeword assembly.  Host work: transcripts, query assembly, verification.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext
+from ..hash import merkle
+from ..hash import poseidon2 as p2
+from ..ntt import coset_lde
+from .challenger import Challenger
+from .config import StarkConfig
+from .fri import FriProof, _pow_table
+from . import fri as fri_mod
+
+ExtVal = Tuple[int, int, int, int]  # canonical quartic element
+
+
+# -- host-side scalar ext helpers -------------------------------------------
+
+
+def py_ext_add(a: ExtVal, b: ExtVal) -> ExtVal:
+    return tuple((x + y) % bb.P for x, y in zip(a, b))
+
+
+def py_ext_sub(a: ExtVal, b: ExtVal) -> ExtVal:
+    return tuple((x - y) % bb.P for x, y in zip(a, b))
+
+
+def py_ext_pow(a: ExtVal, e: int) -> ExtVal:
+    result: ExtVal = (1, 0, 0, 0)
+    base = a
+    while e:
+        if e & 1:
+            result = ext.py_mul(result, base)
+        e >>= 1
+        base = ext.py_mul(base, base)
+    return result
+
+
+# -- commitments -------------------------------------------------------------
+
+
+@dataclass
+class CommittedMatrix:
+    """A committed (n, w) matrix of evaluations over the subgroup H_n."""
+
+    evals: jnp.ndarray  # (n, w) Montgomery
+    lde: jnp.ndarray  # (N, w) Montgomery over coset g*K
+    tree: merkle.MerkleTree
+    root: np.ndarray  # (8,) Montgomery digest
+
+    @property
+    def n(self) -> int:
+        return self.evals.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.evals.shape[1]
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def _lde_matrix(evals: jnp.ndarray, log_blowup: int) -> jnp.ndarray:
+    return jnp.swapaxes(coset_lde(jnp.swapaxes(evals, 0, 1), log_blowup), 0, 1)
+
+
+def commit(evals: jnp.ndarray, config: StarkConfig) -> CommittedMatrix:
+    """Commit to a matrix of column polynomials given by their evals on H."""
+    lde = _lde_matrix(evals, config.log_blowup)
+    tree = merkle.build(p2.hash_rows(lde))
+    return CommittedMatrix(evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root))
+
+
+# -- barycentric evaluation on device ----------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _subgroup_points(log_n: int) -> np.ndarray:
+    """w_n^i Montgomery for i in [0, n)."""
+    return bb.np_to_mont(_pow_table(bb.py_root_of_unity(log_n), 1 << log_n))
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_points(log_n: int, shift: int) -> np.ndarray:
+    t = _pow_table(bb.py_root_of_unity(log_n), 1 << log_n).astype(np.uint64)
+    return bb.np_to_mont((t * (shift % bb.P) % bb.P).astype(np.uint32))
+
+
+@jax.jit
+def _eval_matrix_at(evals: jnp.ndarray, z_m: jnp.ndarray, scalar_m: jnp.ndarray, pts: jnp.ndarray) -> jnp.ndarray:
+    """Barycentric: p_j(z) for every column j of evals (n, w).
+
+    z_m: (4,) Montgomery; scalar_m: (4,) Montgomery = (z^n - 1)/n;
+    pts: (n,) Montgomery subgroup points.  Returns (w, 4) Montgomery."""
+    diff = ext.sub(jnp.broadcast_to(z_m, (*pts.shape, 4)), ext.from_base(pts))
+    dinv = ext.inv(diff)  # (n, 4)
+    c = ext.mul(ext.mul_base(dinv, pts), jnp.broadcast_to(scalar_m, dinv.shape))  # (n,4)
+    comps = []
+    for k in range(4):
+        prod = bb.mont_mul(c[:, k : k + 1], evals)  # (n, w)
+        comps.append(bb.sum_mod(prod, axis=0))  # (w,)
+    return jnp.stack(comps, axis=-1)
+
+
+def eval_at_point(mat: CommittedMatrix, z: ExtVal) -> np.ndarray:
+    """Claimed evaluations p_j(z), canonical (w, 4)."""
+    n = mat.n
+    log_n = int(np.log2(n))
+    zn = py_ext_pow(z, n)
+    scalar = py_ext_sub(zn, (1, 0, 0, 0))
+    n_inv = pow(n, bb.P - 2, bb.P)
+    scalar = tuple(v * n_inv % bb.P for v in scalar)
+    z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
+    s_m = bb.to_mont(jnp.asarray(np.array(scalar, dtype=np.uint32)))
+    pts = jnp.asarray(_subgroup_points(log_n))
+    return np.asarray(bb.from_mont(_eval_matrix_at(mat.evals, z_m, s_m, pts)))
+
+
+# -- reduced codeword ---------------------------------------------------------
+
+
+@jax.jit
+def _fold_columns(lde: jnp.ndarray, alphas: jnp.ndarray) -> jnp.ndarray:
+    """sum_j alphas[j] * lde[:, j]  -> (N, 4);  lde (N,w) base, alphas (w,4)."""
+    comps = []
+    for k in range(4):
+        prod = bb.mont_mul(lde, alphas[None, :, k])  # (N, w)
+        comps.append(bb.sum_mod(prod, axis=1))
+    return jnp.stack(comps, axis=-1)
+
+
+@jax.jit
+def _accumulate_term(acc, folded, y_comb, inv_xz):
+    num = ext.sub(folded, jnp.broadcast_to(y_comb, folded.shape))
+    return ext.add(acc, ext.mul(num, inv_xz))
+
+
+@jax.jit
+def _inv_x_minus_z(xs: jnp.ndarray, z_m: jnp.ndarray) -> jnp.ndarray:
+    diff = ext.sub(ext.from_base(xs), jnp.broadcast_to(z_m, (*xs.shape, 4)))
+    return ext.inv(diff)
+
+
+# -- opening proof ------------------------------------------------------------
+
+
+@dataclass
+class PcsMatrixQuery:
+    row_lo: np.ndarray  # (w,) canonical, row at index q
+    row_hi: np.ndarray  # (w,) canonical, row at index q + N/2
+    path_lo: np.ndarray
+    path_hi: np.ndarray
+
+
+@dataclass
+class PcsQuery:
+    per_matrix: List[PcsMatrixQuery]
+
+
+@dataclass
+class PcsOpening:
+    #: values[m][p] = (w_m, 4) canonical evals of matrix m at its p-th point
+    values: List[List[np.ndarray]]
+    fri: FriProof
+    queries: List[PcsQuery]
+
+
+def open_matrices(
+    mats: Sequence[CommittedMatrix],
+    points: Sequence[Sequence[ExtVal]],
+    config: StarkConfig,
+    challenger: Challenger,
+) -> PcsOpening:
+    """Open each matrix at its list of extension points, in one FRI."""
+    n = mats[0].n
+    assert all(m.n == n for m in mats), "equal heights required (round-1 scope)"
+    log_n = int(np.log2(n))
+    N = n * config.blowup
+    log_N = log_n + config.log_blowup
+
+    # claimed evaluations -> transcript
+    values: List[List[np.ndarray]] = []
+    for mat, zs in zip(mats, points):
+        vals = [eval_at_point(mat, z) for z in zs]
+        values.append(vals)
+        for v in vals:
+            for row in v:
+                challenger.observe_ext(tuple(int(c) for c in row))
+
+    alpha = challenger.sample_ext()
+
+    # reduced codeword
+    xs = jnp.asarray(_coset_points(log_N, config.coset_shift))
+    acc = ext.zero((N,))
+    k = 0
+    inv_cache: Dict[ExtVal, jnp.ndarray] = {}
+    for mat, zs, vals in zip(mats, points, values):
+        w = mat.width
+        for z, y in zip(zs, vals):
+            apows = np.array([py_ext_pow(alpha, k + j) for j in range(w)], dtype=np.uint32)
+            k += w
+            a_m = bb.to_mont(jnp.asarray(apows))  # (w, 4)
+            folded = _fold_columns(mat.lde, a_m)
+            y_comb = (0, 0, 0, 0)
+            for j in range(w):
+                y_comb = py_ext_add(
+                    y_comb, ext.py_mul(tuple(int(c) for c in y[j]), tuple(int(c) for c in apows[j]))
+                )
+            if z not in inv_cache:
+                z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
+                inv_cache[z] = _inv_x_minus_z(xs, z_m)
+            y_m = bb.to_mont(jnp.asarray(np.array(y_comb, dtype=np.uint32)))
+            acc = _accumulate_term(acc, folded, y_m, inv_cache[z])
+
+    fri_proof = fri_mod.prove(acc, config, challenger)
+
+    # per-query row openings
+    host_ldes = [np.asarray(bb.from_mont(m.lde)) for m in mats]
+    queries: List[PcsQuery] = []
+    for fq in fri_proof.queries:
+        q = fq.index
+        per_matrix = []
+        for mat, lde in zip(mats, host_ldes):
+            per_matrix.append(
+                PcsMatrixQuery(
+                    row_lo=lde[q].copy(),
+                    row_hi=lde[q + N // 2].copy(),
+                    path_lo=mat.tree.open(q),
+                    path_hi=mat.tree.open(q + N // 2),
+                )
+            )
+        queries.append(PcsQuery(per_matrix=per_matrix))
+
+    return PcsOpening(values=values, fri=fri_proof, queries=queries)
+
+
+def verify_openings(
+    roots: Sequence[np.ndarray],
+    points: Sequence[Sequence[ExtVal]],
+    opening: PcsOpening,
+    log_n: int,
+    config: StarkConfig,
+    challenger: Challenger,
+) -> None:
+    """Host-side verification; raises AssertionError on failure."""
+    log_N = log_n + config.log_blowup
+    N = 1 << log_N
+    n = 1 << log_n
+
+    for vals, zs in zip(opening.values, points):
+        assert len(vals) == len(zs)
+        for v in vals:
+            for row in v:
+                challenger.observe_ext(tuple(int(c) for c in row))
+    alpha = challenger.sample_ext()
+
+    # precompute per-(matrix, point) alpha powers and combined y values
+    terms = []  # (mat_idx, z, apows list, y_comb)
+    k = 0
+    for m_idx, (vals, zs) in enumerate(zip(opening.values, points)):
+        for z, y in zip(zs, vals):
+            w = y.shape[0]
+            apows = [py_ext_pow(alpha, k + j) for j in range(w)]
+            k += w
+            y_comb = (0, 0, 0, 0)
+            for j in range(w):
+                y_comb = py_ext_add(y_comb, ext.py_mul(tuple(int(c) for c in y[j]), apows[j]))
+            terms.append((m_idx, z, apows, y_comb))
+
+    g_shift = config.coset_shift
+    w_N = bb.py_root_of_unity(log_N)
+    query_iter = iter(opening.queries)
+
+    def reduced_at(x: int, rows: List[np.ndarray]) -> ExtVal:
+        total: ExtVal = (0, 0, 0, 0)
+        for m_idx, z, apows, y_comb in terms:
+            row = rows[m_idx]
+            s: ExtVal = (0, 0, 0, 0)
+            for j, a in enumerate(apows):
+                s = py_ext_add(s, tuple(int(row[j]) * c % bb.P for c in a))
+            num = py_ext_sub(s, y_comb)
+            d = ((x - z[0]) % bb.P, (-z[1]) % bb.P, (-z[2]) % bb.P, (-z[3]) % bb.P)
+            total = py_ext_add(total, ext.py_mul(num, ext.py_inv(d)))
+        return total
+
+    def open_input(q: int):
+        pq = next(query_iter)
+        rows_lo, rows_hi = [], []
+        for m_idx, (mq, root) in enumerate(zip(pq.per_matrix, roots)):
+            d_lo = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
+            d_hi = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
+            assert merkle.verify_path(root, q, d_lo, mq.path_lo), "bad row path (lo)"
+            assert merkle.verify_path(root, q + N // 2, d_hi, mq.path_hi), "bad row path (hi)"
+            rows_lo.append(mq.row_lo)
+            rows_hi.append(mq.row_hi)
+        x_lo = g_shift * pow(w_N, q, bb.P) % bb.P
+        x_hi = g_shift * pow(w_N, q + N // 2, bb.P) % bb.P
+        return np.array(
+            [reduced_at(x_lo, rows_lo), reduced_at(x_hi, rows_hi)], dtype=np.uint32
+        )
+
+    fri_mod.verify(opening.fri, log_N, config, challenger, open_input=open_input)
