@@ -1,0 +1,324 @@
+"""Multi-chip STARK prover with LogUp bus interactions.
+
+Pipeline per chip (SURVEY.md §3.2 — the proving stage the reference
+delegates to the stark-backend fork):
+  commit main traces -> sample LogUp challenges -> build + commit
+  permutation traces (helper columns + running sum) -> sample the
+  constraint-folding challenge -> evaluate the folded constraint
+  quotient on the LDE coset -> commit quotient chunks -> sample zeta ->
+  batch-open everything with one FRI.
+
+Device work dominates: trace LDEs, Poseidon2 Merkle commits, interaction
+fingerprints + batched extension inverses, constraint evaluation (the
+jitted AIR "kernel"), quotient NTTs.  Host work is transcript plumbing.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext
+from ..ir import expression as ir
+from ..ntt import intt, ntt
+from ..ntt.ntt import _shift_powers
+from . import air as air_mod
+from . import pcs
+from .air import Air, ALPHA_LOGUP, BETA_LOGUP, TOTAL_LOGUP
+from .challenger import Challenger
+from .config import StarkConfig
+from .fri import _pow_table
+from .pcs import ExtVal, py_ext_pow
+
+
+@dataclass
+class ChipProof:
+    main_root: np.ndarray
+    perm_root: Optional[np.ndarray]
+    quotient_root: np.ndarray
+    logup_total: ExtVal
+
+
+@dataclass
+class Proof:
+    log_n: int
+    chip_widths: List[int]
+    chips: List[ChipProof]
+    pcs: pcs.PcsOpening
+
+
+# ---------------------------------------------------------------------------
+# trace-domain evaluation helpers
+
+
+def _trace_selectors(log_n: int) -> Dict[str, jnp.ndarray]:
+    n = 1 << log_n
+    first = np.zeros(n, dtype=np.uint32)
+    first[0] = bb.R_MOD_P
+    last = np.zeros(n, dtype=np.uint32)
+    last[-1] = bb.R_MOD_P
+    x = _pow_table(bb.py_root_of_unity(log_n), n).astype(np.uint64)
+    w_last = pow(bb.py_root_of_unity(log_n), n - 1, bb.P)
+    trans = bb.np_to_mont(((x - w_last) % bb.P).astype(np.uint32))
+    return {
+        "is_first": jnp.asarray(first),
+        "is_last": jnp.asarray(last),
+        "is_transition": jnp.asarray(trans),
+    }
+
+
+def _roll_rows(arr: jnp.ndarray, rot: int, step: int) -> jnp.ndarray:
+    return jnp.roll(arr, -rot * step, axis=0) if rot else arr
+
+
+def build_perm_trace(
+    air: Air,
+    trace: jnp.ndarray,
+    groups: List[List[int]],
+    alpha: ExtVal,
+    beta: ExtVal,
+) -> Tuple[jnp.ndarray, ExtVal]:
+    """Compute [h_0..h_{G-1}, s] as a (n, 4*(G+1)) base matrix plus the
+    chip's cumulative LogUp total."""
+    n = trace.shape[0]
+    log_n = int(np.log2(n))
+    sel = _trace_selectors(log_n)
+    alg = air_mod._mixed_algebra(
+        main_col=lambda i, r: _roll_rows(trace[:, i], r, 1),
+        perm_col=lambda i, r: (_ for _ in ()).throw(ValueError("no perm cols yet")),
+        challenges={},
+        selectors=sel,
+    )
+    cache: Dict[int, object] = {}
+
+    def eval_base(e: ir.Expr) -> jnp.ndarray:
+        tag, arr = ir.evaluate(e, alg, cache)
+        assert tag == "b", "interaction exprs must be base-field"
+        return arr
+
+    alpha_m = bb.to_mont(jnp.asarray(np.array(alpha, dtype=np.uint32)))
+    beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
+
+    h_cols: List[jnp.ndarray] = []
+    for group in groups:
+        h: Optional[jnp.ndarray] = None
+        for t_idx in group:
+            t = air.interactions[t_idx]
+            # fingerprint f = alpha + bus_id + sum beta^{j+1} arg_j
+            f = jnp.tile(alpha_m, (n, 1))
+            f = f.at[:, 0].set(bb.add(f[:, 0], bb.to_mont(jnp.uint32(t.bus_id))))
+            bp = beta_m
+            for a in t.args:
+                av = eval_base(a)
+                f = ext.add(f, ext.mul_base(jnp.broadcast_to(bp, (n, 4)), av))
+                bp = ext.mul(bp, beta_m)
+            m = eval_base(t.mult)
+            term = ext.mul_base(ext.inv(f), m)
+            h = term if h is None else ext.add(h, term)
+        h_cols.append(h)
+
+    h_tot = h_cols[0]
+    for h in h_cols[1:]:
+        h_tot = ext.add(h_tot, h)
+    s_incl = jax.lax.associative_scan(bb.add, h_tot, axis=0)
+    s_excl = ext.sub(s_incl, h_tot)
+    total = tuple(int(v) for v in np.asarray(bb.from_mont(s_incl[-1])))
+
+    cols = h_cols + [s_excl]
+    perm = jnp.concatenate([c.reshape(n, 4) for c in cols], axis=1)
+    return perm, total
+
+
+# ---------------------------------------------------------------------------
+# quotient
+
+
+def _lde_algebra(
+    lde_main: jnp.ndarray,
+    lde_perm: Optional[jnp.ndarray],
+    challenges: Dict[str, jnp.ndarray],
+    selectors: Dict[str, jnp.ndarray],
+    blowup: int,
+) -> ir.Algebra:
+    def perm_col(i, r):
+        block = lde_perm[:, 4 * i : 4 * i + 4]
+        return _roll_rows(block, r, blowup)
+
+    return air_mod._mixed_algebra(
+        main_col=lambda i, r: _roll_rows(lde_main[:, i], r, blowup),
+        perm_col=perm_col,
+        challenges=challenges,
+        selectors=selectors,
+    )
+
+
+def compute_quotient(
+    air: Air,
+    logup_cons: List[ir.Expr],
+    lde_main: jnp.ndarray,
+    lde_perm: Optional[jnp.ndarray],
+    challenges: Dict[str, ExtVal],
+    alpha_q: ExtVal,
+    log_n: int,
+    config: StarkConfig,
+) -> jnp.ndarray:
+    """Folded-constraint quotient, returned as a (n, 4*blowup) matrix of
+    chunk evaluations over H (chunk-major, 4 extension components each)."""
+    n = 1 << log_n
+    blowup = config.blowup
+    N = n * blowup
+    sel = air_mod.lde_selectors(log_n, config.log_blowup, config.coset_shift)
+    ch_m = {
+        k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32))) for k, v in challenges.items()
+    }
+    alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup)
+    cache: Dict[int, object] = {}
+
+    acc = ext.zero((N,))
+    apow: ExtVal = (1, 0, 0, 0)
+    for con in list(air.constraints) + logup_cons:
+        tag, arr = ir.evaluate(con, alg, cache)
+        a_m = bb.to_mont(jnp.asarray(np.array(apow, dtype=np.uint32)))
+        if tag == "b":
+            acc = ext.add(acc, ext.mul_base(jnp.broadcast_to(a_m, (N, 4)), arr))
+        else:
+            acc = ext.add(acc, ext.mul(jnp.broadcast_to(a_m, (N, 4)), arr))
+        apow = py_ext_pow_mul(apow, alpha_q)
+
+    # divide by Z_H pointwise: Z_H has `blowup` distinct values on the coset
+    zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, config.coset_shift)["z_h"]
+    zh_inv = np.array(
+        [pow(int(v), bb.P - 2, bb.P) for v in zh_np[:blowup]], dtype=np.uint32
+    )
+    zh_inv_m = jnp.asarray(np.tile(bb.np_to_mont(zh_inv), N // blowup))
+    q = ext.mul_base(acc, zh_inv_m)
+
+    # interpolate on the coset, un-shift, split into chunks of degree < n
+    comps = jnp.moveaxis(q, -1, 0)  # (4, N)
+    coeffs = intt(comps)
+    sp = jnp.asarray(_shift_powers(log_n + config.log_blowup, config.coset_shift, inverse=True))
+    coeffs = bb.mont_mul(coeffs, sp)  # (4, N) coefficients
+    chunks = []
+    for k in range(blowup):
+        chunk = coeffs[:, k * n : (k + 1) * n]  # (4, n)
+        evals = ntt(chunk)  # (4, n) over H
+        chunks.append(jnp.swapaxes(evals, 0, 1))  # (n, 4)
+    return jnp.concatenate(chunks, axis=1)  # (n, 4*blowup)
+
+
+def py_ext_pow_mul(a: ExtVal, b: ExtVal) -> ExtVal:
+    return ext.py_mul(a, b)
+
+
+# ---------------------------------------------------------------------------
+# top-level prove
+
+
+def prove(
+    chips: Sequence[Tuple[Air, jnp.ndarray]],
+    config: StarkConfig,
+    challenger: Challenger,
+) -> Proof:
+    n = chips[0][1].shape[0]
+    log_n = int(np.log2(n))
+    assert all(t.shape[0] == n for _, t in chips), "equal heights (round-1 scope)"
+    w_n = bb.py_root_of_unity(log_n)
+
+    challenger.observe(log_n)
+    challenger.observe(len(chips))
+    for a, t in chips:
+        assert t.shape[1] == a.width
+        challenger.observe(a.width)
+
+    # round 1: main commitments
+    mains = []
+    for a, t in chips:
+        cm = pcs.commit(t, config)
+        mains.append(cm)
+        challenger.observe_digest(cm.root)
+
+    alpha = challenger.sample_ext()
+    beta = challenger.sample_ext()
+
+    # round 2: permutation traces
+    perms: List[Optional[pcs.CommittedMatrix]] = []
+    groups_per_chip: List[List[List[int]]] = []
+    totals: List[ExtVal] = []
+    for a, t in chips:
+        if a.interactions:
+            groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
+            perm, total = build_perm_trace(a, t, groups, alpha, beta)
+            cm = pcs.commit(perm, config)
+            challenger.observe_digest(cm.root)
+            challenger.observe_ext(total)
+            perms.append(cm)
+            groups_per_chip.append(groups)
+            totals.append(total)
+        else:
+            perms.append(None)
+            groups_per_chip.append([])
+            totals.append((0, 0, 0, 0))
+
+    alpha_q = challenger.sample_ext()
+
+    # round 3: quotients
+    quotients = []
+    for (a, t), main_cm, perm_cm, groups, total in zip(
+        chips, mains, perms, groups_per_chip, totals
+    ):
+        logup_cons: List[ir.Expr] = []
+        challenges: Dict[str, ExtVal] = {}
+        if a.interactions:
+            logup_cons, _ = air_mod.logup_constraints(a, groups)
+            challenges = {ALPHA_LOGUP: alpha, BETA_LOGUP: beta, TOTAL_LOGUP: total}
+        qm = compute_quotient(
+            a,
+            logup_cons,
+            main_cm.lde,
+            perm_cm.lde if perm_cm else None,
+            challenges,
+            alpha_q,
+            log_n,
+            config,
+        )
+        cm = pcs.commit(qm, config)
+        quotients.append(cm)
+        challenger.observe_digest(cm.root)
+
+    zeta = challenger.sample_ext()
+    zeta_next = tuple(v * w_n % bb.P for v in zeta)
+
+    # round 4: batch opening
+    matrices = []
+    points = []
+    for main_cm, perm_cm, q_cm in zip(mains, perms, quotients):
+        matrices.append(main_cm)
+        points.append([zeta, zeta_next])
+        if perm_cm is not None:
+            matrices.append(perm_cm)
+            points.append([zeta, zeta_next])
+        matrices.append(q_cm)
+        points.append([zeta])
+
+    opening = pcs.open_matrices(matrices, points, config, challenger)
+
+    chip_proofs = [
+        ChipProof(
+            main_root=m.root,
+            perm_root=p.root if p else None,
+            quotient_root=q.root,
+            logup_total=tot,
+        )
+        for m, p, q, tot in zip(mains, perms, quotients, totals)
+    ]
+    return Proof(
+        log_n=log_n,
+        chip_widths=[a.width for a, _ in chips],
+        chips=chip_proofs,
+        pcs=opening,
+    )

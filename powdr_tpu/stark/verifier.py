@@ -1,0 +1,153 @@
+"""Host-side STARK verifier.
+
+Re-runs the transcript, checks the global LogUp balance (chip cumulative
+totals sum to zero — the bus soundness condition the reference gets from
+OpenVM's LogUp implementation), verifies the PCS/FRI openings, and checks
+the folded constraint identity C(zeta) = Z_H(zeta) * Q(zeta) per chip
+using the opened values.  Proofs are tiny; everything here is python-int
+math over the quartic extension."""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..field import babybear as bb
+from ..field import ext
+from ..ir import expression as ir
+from . import air as air_mod
+from . import pcs
+from .air import Air, ALPHA_LOGUP, BETA_LOGUP, TOTAL_LOGUP
+from .challenger import Challenger
+from .config import StarkConfig
+from .pcs import ExtVal, py_ext_add, py_ext_sub, py_ext_pow
+from .prover import Proof
+
+
+def _ext_from_base_cols(vals, k: int) -> ExtVal:
+    """Reassemble an extension value from the opened evals of 4 base
+    component columns [4k..4k+4): S(z) = sum_c e_c * s_c(z)."""
+    acc: ExtVal = (0, 0, 0, 0)
+    for c in range(4):
+        comp = tuple(int(v) for v in vals[4 * k + c])
+        basis = tuple(1 if i == c else 0 for i in range(4))
+        acc = py_ext_add(acc, ext.py_mul(basis, comp))
+    return acc
+
+
+def verify(
+    airs: Sequence[Air],
+    proof: Proof,
+    config: StarkConfig,
+    challenger: Challenger,
+) -> None:
+    log_n = proof.log_n
+    n = 1 << log_n
+    w_n = bb.py_root_of_unity(log_n)
+
+    challenger.observe(log_n)
+    challenger.observe(len(airs))
+    for a in airs:
+        challenger.observe(a.width)
+
+    for cp in proof.chips:
+        challenger.observe_digest(cp.main_root)
+    alpha = challenger.sample_ext()
+    beta = challenger.sample_ext()
+
+    total_sum: ExtVal = (0, 0, 0, 0)
+    groups_per_chip = []
+    for a, cp in zip(airs, proof.chips):
+        if a.interactions:
+            assert cp.perm_root is not None
+            challenger.observe_digest(cp.perm_root)
+            challenger.observe_ext(cp.logup_total)
+            total_sum = py_ext_add(total_sum, cp.logup_total)
+            groups_per_chip.append(air_mod.batch_interactions(a, config.bus_interaction_degree))
+        else:
+            assert cp.perm_root is None
+            assert cp.logup_total == (0, 0, 0, 0)
+            groups_per_chip.append([])
+    assert total_sum == (0, 0, 0, 0), "LogUp bus imbalance"
+
+    alpha_q = challenger.sample_ext()
+    for cp in proof.chips:
+        challenger.observe_digest(cp.quotient_root)
+
+    zeta = challenger.sample_ext()
+    zeta_next = tuple(v * w_n % bb.P for v in zeta)
+
+    # reconstruct the PCS matrix list (roots, widths, points)
+    roots: List[np.ndarray] = []
+    points: List[List[ExtVal]] = []
+    widths: List[int] = []
+    for a, cp, groups in zip(airs, proof.chips, groups_per_chip):
+        roots.append(cp.main_root)
+        points.append([zeta, zeta_next])
+        widths.append(a.width)
+        if a.interactions:
+            roots.append(cp.perm_root)
+            points.append([zeta, zeta_next])
+            widths.append(4 * (len(groups) + 1))
+        roots.append(cp.quotient_root)
+        points.append([zeta])
+        widths.append(4 * config.blowup)
+
+    assert len(proof.pcs.values) == len(roots), "opening count mismatch"
+    for vals, w, zs in zip(proof.pcs.values, widths, points):
+        assert len(vals) == len(zs)
+        for v in vals:
+            assert v.shape == (w, 4), "opened width mismatch"
+
+    pcs.verify_openings(roots, points, proof.pcs, log_n, config, challenger)
+
+    # per-chip constraint check at zeta
+    sel = air_mod.selectors_at_point(zeta, log_n)
+    z_h = sel["z_h"]
+    m_idx = 0
+    for a, cp, groups in zip(airs, proof.chips, groups_per_chip):
+        main_vals = proof.pcs.values[m_idx]
+        m_idx += 1
+        main_at = {}
+        for i in range(a.width):
+            main_at[(i, 0)] = tuple(int(v) for v in main_vals[0][i])
+            main_at[(i, 1)] = tuple(int(v) for v in main_vals[1][i])
+        perm_at: Dict[Tuple[int, int], ExtVal] = {}
+        logup_cons: List[ir.Expr] = []
+        challenges: Dict[str, ExtVal] = {}
+        if a.interactions:
+            perm_vals = proof.pcs.values[m_idx]
+            m_idx += 1
+            n_perm_ext = len(groups) + 1
+            for k in range(n_perm_ext):
+                perm_at[(k, 0)] = _ext_from_base_cols(perm_vals[0], k)
+                perm_at[(k, 1)] = _ext_from_base_cols(perm_vals[1], k)
+            logup_cons, _ = air_mod.logup_constraints(a, groups)
+            challenges = {
+                ALPHA_LOGUP: alpha,
+                BETA_LOGUP: beta,
+                TOTAL_LOGUP: cp.logup_total,
+            }
+        q_vals = proof.pcs.values[m_idx]
+        m_idx += 1
+
+        alg = air_mod.host_algebra(main_at, perm_at, challenges, sel)
+        cache: Dict[int, object] = {}
+        acc: ExtVal = (0, 0, 0, 0)
+        apow: ExtVal = (1, 0, 0, 0)
+        for con in list(a.constraints) + logup_cons:
+            val = ir.evaluate(con, alg, cache)
+            acc = py_ext_add(acc, ext.py_mul(apow, val))
+            apow = ext.py_mul(apow, alpha_q)
+
+        # Q(zeta) = sum_k zeta^{kn} Q_k(zeta)
+        q_at: ExtVal = (0, 0, 0, 0)
+        zkn: ExtVal = (1, 0, 0, 0)
+        zn = py_ext_pow(zeta, n)
+        for k in range(config.blowup):
+            qk = _ext_from_base_cols(q_vals[0], k)
+            q_at = py_ext_add(q_at, ext.py_mul(zkn, qk))
+            zkn = ext.py_mul(zkn, zn)
+        lhs = acc
+        rhs = ext.py_mul(z_h, q_at)
+        assert lhs == rhs, f"constraint identity failed for chip '{a.name}'"
