@@ -37,6 +37,14 @@ class MerkleTree:
         return np.array(sibs, dtype=np.uint32).reshape(-1, p2.DIGEST)
 
 
+def root_only(leaf_digests: jnp.ndarray) -> jnp.ndarray:
+    """Jit-friendly root computation (no layer retention), (n,8)->(8,)."""
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        cur = p2.compress(cur[0::2], cur[1::2])
+    return cur[0]
+
+
 def build(leaf_digests: jnp.ndarray) -> MerkleTree:
     """leaf_digests: (n, 8) with n a power of two."""
     n = leaf_digests.shape[0]

@@ -69,17 +69,29 @@ def _shift_powers(log_n: int, shift: int, inverse: bool) -> np.ndarray:
 
 # ---------------------------------------------------------------------------
 # device-side transforms.  x: (..., n) uint32 Montgomery; batch dims leading.
+#
+# Twiddle tables are uploaded once per (log_n, inverse) and passed as traced
+# arguments — embedding them as HLO constants makes XLA compiles explode at
+# large n (the tables total ~n words).
 
 
-def _dif(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
+@functools.lru_cache(maxsize=None)
+def _root_table_device(log_n: int, inverse: bool):
+    import jax
+
+    return jax.device_put(jnp.asarray(_root_table(log_n, inverse)))
+
+
+def _dif(x: jnp.ndarray, log_n: int, inverse: bool, table=None) -> jnp.ndarray:
     """Decimation-in-frequency: natural input -> bit-reversed output."""
     n = 1 << log_n
     batch = x.shape[:-1]
-    table = _root_table(log_n, inverse)  # n/2 roots of order n
+    if table is None:
+        table = _root_table_device(log_n, inverse)  # (n/2,) roots of order n
     for s in range(log_n):
         m = n >> s  # current block size
         h = m >> 1
-        tw = jnp.asarray(table[:: 1 << s])  # w_m^j, j in [0, h)
+        tw = table[:: 1 << s]  # w_m^j, j in [0, h)
         y = x.reshape(*batch, -1, 2, h)
         a = y[..., 0, :]
         b = y[..., 1, :]
@@ -89,15 +101,16 @@ def _dif(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
     return x
 
 
-def _dit(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
+def _dit(x: jnp.ndarray, log_n: int, inverse: bool, table=None) -> jnp.ndarray:
     """Decimation-in-time: bit-reversed input -> natural output."""
     n = 1 << log_n
     batch = x.shape[:-1]
-    table = _root_table(log_n, inverse)
+    if table is None:
+        table = _root_table_device(log_n, inverse)
     for s in range(log_n - 1, -1, -1):
         m = n >> s
         h = m >> 1
-        tw = jnp.asarray(table[:: 1 << s])
+        tw = table[:: 1 << s]
         y = x.reshape(*batch, -1, 2, h)
         a = y[..., 0, :]
         b = bb.mont_mul(y[..., 1, :], tw)
@@ -105,6 +118,16 @@ def _dit(x: jnp.ndarray, log_n: int, inverse: bool) -> jnp.ndarray:
         hi = bb.sub(a, b)
         x = jnp.stack([lo, hi], axis=-2).reshape(*batch, n)
     return x
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_device(log_n: int):
+    return jax.device_put(jnp.asarray(bitrev_indices(log_n)))
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers_device(log_n: int, shift: int, inverse: bool):
+    return jax.device_put(jnp.asarray(_shift_powers(log_n, shift, inverse)))
 
 
 def ntt_natural_to_rev(x: jnp.ndarray) -> jnp.ndarray:
@@ -121,22 +144,48 @@ def intt_rev_to_natural(x: jnp.ndarray) -> jnp.ndarray:
 
 def bitrev(x: jnp.ndarray) -> jnp.ndarray:
     log_n = int(np.log2(x.shape[-1]))
-    return jnp.take(x, jnp.asarray(bitrev_indices(log_n)), axis=-1)
+    return jnp.take(x, _bitrev_device(log_n), axis=-1)
 
 
 @jax.jit
+def _ntt_impl(x, table, rev_idx):
+    log_n = int(np.log2(x.shape[-1]))
+    return jnp.take(_dif(x, log_n, False, table), rev_idx, axis=-1)
+
+
+@jax.jit
+def _intt_impl(x, table, rev_idx):
+    log_n = int(np.log2(x.shape[-1]))
+    y = _dit(jnp.take(x, rev_idx, axis=-1), log_n, True, table)
+    n_inv = bb.py_to_mont(pow(1 << log_n, bb.P - 2, bb.P))
+    return bb.mont_mul(y, jnp.uint32(n_inv))
+
+
 def ntt(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT, natural in / natural out (coeffs -> evals over H)."""
-    return bitrev(ntt_natural_to_rev(x))
+    """Forward NTT, natural in / natural out (coeffs -> evals over H).
+
+    Twiddle/bitrev tables travel as jit arguments, not HLO constants."""
+    log_n = int(np.log2(x.shape[-1]))
+    return _ntt_impl(x, _root_table_device(log_n, False), _bitrev_device(log_n))
 
 
-@jax.jit
 def intt(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT, natural in / natural out (evals over H -> coeffs)."""
-    return intt_rev_to_natural(bitrev(x))
+    log_n = int(np.log2(x.shape[-1]))
+    return _intt_impl(x, _root_table_device(log_n, True), _bitrev_device(log_n))
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
+@functools.partial(jax.jit, static_argnums=(1,))
+def _coset_lde_impl(x, log_blowup, itable, irev, sp, ftable, frev):
+    n = x.shape[-1]
+    log_n = int(np.log2(n))
+    coeffs = _intt_impl.__wrapped__(x, itable, irev)
+    coeffs = bb.mont_mul(coeffs, sp)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, n * ((1 << log_blowup) - 1))]
+    coeffs = jnp.pad(coeffs, pad)
+    return _ntt_impl.__wrapped__(coeffs, ftable, frev)
+
+
 def coset_lde(
     x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR
 ) -> jnp.ndarray:
@@ -147,12 +196,16 @@ def coset_lde(
     """
     n = x.shape[-1]
     log_n = int(np.log2(n))
-    coeffs = intt(x)
-    sp = jnp.asarray(_shift_powers(log_n, shift, inverse=False))
-    coeffs = bb.mont_mul(coeffs, sp)
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, n * ((1 << log_blowup) - 1))]
-    coeffs = jnp.pad(coeffs, pad)
-    return ntt(coeffs)
+    log_N = log_n + log_blowup
+    return _coset_lde_impl(
+        x,
+        log_blowup,
+        _root_table_device(log_n, True),
+        _bitrev_device(log_n),
+        _shift_powers_device(log_n, shift, False),
+        _root_table_device(log_N, False),
+        _bitrev_device(log_N),
+    )
 
 
 def eval_poly_at_ext(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
