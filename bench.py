@@ -2,48 +2,68 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
+Methodology: the transform is the full 24-stage radix-2 DIF ladder
+(natural input, bit-reversed output — the order convention the whole
+prover pipeline uses; data at rest never needs the bitrev gather).
+Timing chains k transforms inside one jitted fori_loop and differences
+two chain lengths, which cancels the ~0.4s dispatch round-trip of the
+tunneled TPU plus any constant overheads.
+
 vs_baseline reference point: 2^30 elems/s (~1.07e9), an estimate of the
 reference stack's CUDA BabyBear NTT throughput on the L40S GPUs its
-nightly bench rents (BASELINE.md: the repo publishes no absolute numbers;
-this constant is our fixed comparison anchor across rounds).
+nightly bench rents (BASELINE.md: the repo publishes no absolute
+numbers; this constant is our fixed comparison anchor across rounds).
 """
+import functools
 import json
 import sys
 import time
 
 BASELINE_ELEMS_PER_S = float(1 << 30)
 LOG_N = 24
-ITERS = 8
+SHORT, LONG = 2, 18
 
 
 def main() -> None:
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     import jax.numpy as jnp
+    import numpy as np
 
     from powdr_tpu.field import babybear as bb
-    from powdr_tpu.ntt import ntt
+    from powdr_tpu.ntt.ntt import _ntt_nat_to_rev_impl, _stage_tables
 
     n = 1 << LOG_N
 
+    def sync(a):
+        return np.asarray(jax.jit(lambda v: jnp.sum(v, dtype=jnp.uint32).reshape(1))(a))
+
     @jax.jit
     def make_input():
-        # generate on device: iota folded into the field (avoid pushing
-        # 64 MB through the host tunnel)
         x = jax.lax.iota(jnp.uint32, n)
         return bb.mont_mul(x, jnp.uint32(bb.R2_MOD_P))
 
     x = make_input()
-    x.block_until_ready()
+    sync(x)
+    tables = _stage_tables(LOG_N, False)
 
-    f = jax.jit(ntt)
-    f(x).block_until_ready()  # compile + warm cache
+    @functools.partial(jax.jit, static_argnums=(2,))
+    def chain(x, tables, iters):
+        return jax.lax.fori_loop(
+            0, iters, lambda i, v: _ntt_nat_to_rev_impl.__wrapped__(v, tables), x
+        )
 
-    t0 = time.perf_counter()
-    y = x
-    for _ in range(ITERS):
-        y = f(y)
-    y.block_until_ready()
-    dt = (time.perf_counter() - t0) / ITERS
+    # compile both chain lengths
+    sync(chain(x, tables, SHORT))
+    sync(chain(x, tables, LONG))
+
+    t_short = min(_timed(sync, chain, x, tables, SHORT) for _ in range(3))
+    t_long = min(_timed(sync, chain, x, tables, LONG) for _ in range(3))
+    dt = (t_long - t_short) / (LONG - SHORT)
 
     elems_per_s = n / dt
     print(
@@ -56,6 +76,12 @@ def main() -> None:
             }
         )
     )
+
+
+def _timed(sync, chain, x, tables, iters):
+    t0 = time.perf_counter()
+    sync(chain(x, tables, iters))
+    return time.perf_counter() - t0
 
 
 if __name__ == "__main__":

@@ -3,6 +3,8 @@ from .ntt import (
     bitrev_indices,
     coset_lde,
     eval_poly_at_ext,
+    evaluate_from_rev,
+    interpolate_rev,
     intt,
     intt_rev_to_natural,
     ntt,
@@ -14,6 +16,8 @@ __all__ = [
     "bitrev_indices",
     "coset_lde",
     "eval_poly_at_ext",
+    "evaluate_from_rev",
+    "interpolate_rev",
     "intt",
     "intt_rev_to_natural",
     "ntt",

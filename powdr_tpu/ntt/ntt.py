@@ -1,14 +1,20 @@
 """Radix-2 NTT / inverse NTT / coset LDE over BabyBear, TPU-first.
 
-Design (SURVEY.md §7 step 3): vectorized butterfly stages expressed as
-reshape + slice so XLA maps them onto full VPU lanes; twiddle tables are
-precomputed host-side (numpy, Montgomery form) and closed over as constants.
-Forward DIF maps natural order -> bit-reversed order; inverse DIT maps
-bit-reversed -> natural, so a round-trip needs no explicit permutation.
-Explicit bit-reversal is a single precomputed gather when an API requires
-natural-order evaluations.
+Design rules learned from the hardware (SURVEY.md §7 step 3):
+  * butterfly stages are 2D slice+concat on (blocks, 2h) views — the
+    3D reshape+stack formulation made XLA layout passes explode
+    (90s+ compiles at 2^20 vs ~4s for this form);
+  * twiddles are per-stage contiguous arrays passed as jit arguments —
+    strided slicing of one big table costs more at runtime than the
+    butterflies themselves, and HLO-constant tables blow up compiles;
+  * the coset-LDE pipeline is gather-free: DIF-inverse leaves
+    coefficients in bit-reversed order, the zero-pad to the big domain is
+    a regular stride interleave (rev_N(i) = rev_n(i) * blowup for i < n),
+    and DIT-forward consumes bit-reversed input directly.  Data at rest
+    (trace evals, LDE rows) is always in natural order; explicit bitrev
+    gathers only appear in small/cold paths.
 
-This replaces the NTT/LDE the reference outsources to the openvm
+Replaces the NTT/LDE the reference outsources to the openvm
 stark-backend fork (SURVEY.md §1 L5, /root/reference/Cargo.toml:88-100).
 """
 from __future__ import annotations
@@ -43,6 +49,19 @@ def _root_table(log_n: int, inverse: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _stage_tables(log_n: int, inverse: bool):
+    """Per-stage contiguous twiddle arrays, device-resident.
+
+    Stage s (DIF order, block size m = n >> s) uses w_m^j for j < m/2,
+    which is table[::2^s]; materialized contiguously once here."""
+    base = _root_table(log_n, inverse)
+    return tuple(
+        jax.device_put(jnp.asarray(np.ascontiguousarray(base[:: 1 << s])))
+        for s in range(log_n)
+    )
+
+
+@functools.lru_cache(maxsize=None)
 def bitrev_indices(log_n: int) -> np.ndarray:
     n = 1 << log_n
     idx = np.arange(n, dtype=np.uint32)
@@ -50,6 +69,11 @@ def bitrev_indices(log_n: int) -> np.ndarray:
     for b in range(log_n):
         rev |= ((idx >> b) & 1) << (log_n - 1 - b)
     return rev
+
+
+@functools.lru_cache(maxsize=None)
+def _bitrev_device(log_n: int):
+    return jax.device_put(jnp.asarray(bitrev_indices(log_n)))
 
 
 @functools.lru_cache(maxsize=None)
@@ -67,153 +91,159 @@ def _shift_powers(log_n: int, shift: int, inverse: bool) -> np.ndarray:
     return bb.np_to_mont(out.astype(np.uint32))
 
 
-# ---------------------------------------------------------------------------
-# device-side transforms.  x: (..., n) uint32 Montgomery; batch dims leading.
-#
-# Twiddle tables are uploaded once per (log_n, inverse) and passed as traced
-# arguments — embedding them as HLO constants makes XLA compiles explode at
-# large n (the tables total ~n words).
+@functools.lru_cache(maxsize=None)
+def _shift_powers_rev_device(log_n: int, shift: int, inverse: bool):
+    """shift^rev(j) — for scaling coefficients held in bit-reversed order."""
+    tbl = _shift_powers(log_n, shift, inverse)[bitrev_indices(log_n)]
+    return jax.device_put(jnp.asarray(np.ascontiguousarray(tbl)))
 
 
 @functools.lru_cache(maxsize=None)
-def _root_table_device(log_n: int, inverse: bool):
-    import jax
-
-    return jax.device_put(jnp.asarray(_root_table(log_n, inverse)))
+def _n_inv_mont(log_n: int) -> int:
+    return bb.py_to_mont(pow(1 << log_n, bb.P - 2, bb.P))
 
 
-def _dif(x: jnp.ndarray, log_n: int, inverse: bool, table=None) -> jnp.ndarray:
+# ---------------------------------------------------------------------------
+# device-side butterfly ladders.  x: (..., n) uint32 Montgomery.
+
+
+def _dif(x: jnp.ndarray, log_n: int, tables) -> jnp.ndarray:
     """Decimation-in-frequency: natural input -> bit-reversed output."""
     n = 1 << log_n
     batch = x.shape[:-1]
-    if table is None:
-        table = _root_table_device(log_n, inverse)  # (n/2,) roots of order n
+    flat = x.reshape(-1, n)
     for s in range(log_n):
-        m = n >> s  # current block size
-        h = m >> 1
-        tw = table[:: 1 << s]  # w_m^j, j in [0, h)
-        y = x.reshape(*batch, -1, 2, h)
-        a = y[..., 0, :]
-        b = y[..., 1, :]
+        h = n >> (s + 1)
+        y = flat.reshape(-1, 2 * h)
+        a, b = y[:, :h], y[:, h:]
         lo = bb.add(a, b)
-        hi = bb.mont_mul(bb.sub(a, b), tw)
-        x = jnp.stack([lo, hi], axis=-2).reshape(*batch, n)
-    return x
+        hi = bb.mont_mul(bb.sub(a, b), tables[s][None, :])
+        flat = jnp.concatenate([lo, hi], axis=1).reshape(-1, n)
+    return flat.reshape(*batch, n)
 
 
-def _dit(x: jnp.ndarray, log_n: int, inverse: bool, table=None) -> jnp.ndarray:
+def _dit(x: jnp.ndarray, log_n: int, tables) -> jnp.ndarray:
     """Decimation-in-time: bit-reversed input -> natural output."""
     n = 1 << log_n
     batch = x.shape[:-1]
-    if table is None:
-        table = _root_table_device(log_n, inverse)
+    flat = x.reshape(-1, n)
     for s in range(log_n - 1, -1, -1):
-        m = n >> s
-        h = m >> 1
-        tw = table[:: 1 << s]
-        y = x.reshape(*batch, -1, 2, h)
-        a = y[..., 0, :]
-        b = bb.mont_mul(y[..., 1, :], tw)
-        lo = bb.add(a, b)
-        hi = bb.sub(a, b)
-        x = jnp.stack([lo, hi], axis=-2).reshape(*batch, n)
-    return x
+        h = n >> (s + 1)
+        y = flat.reshape(-1, 2 * h)
+        a = y[:, :h]
+        b = bb.mont_mul(y[:, h:], tables[s][None, :])
+        flat = jnp.concatenate([bb.add(a, b), bb.sub(a, b)], axis=1).reshape(-1, n)
+    return flat.reshape(*batch, n)
 
 
-@functools.lru_cache(maxsize=None)
-def _bitrev_device(log_n: int):
-    return jax.device_put(jnp.asarray(bitrev_indices(log_n)))
+# jitted impls: tables travel as arguments (pytrees of per-stage arrays)
 
 
-@functools.lru_cache(maxsize=None)
-def _shift_powers_device(log_n: int, shift: int, inverse: bool):
-    return jax.device_put(jnp.asarray(_shift_powers(log_n, shift, inverse)))
+@jax.jit
+def _ntt_nat_to_rev_impl(x, tables):
+    return _dif(x, int(np.log2(x.shape[-1])), tables)
+
+
+@jax.jit
+def _intt_rev_to_nat_impl(x, tables):
+    log_n = int(np.log2(x.shape[-1]))
+    y = _dit(x, log_n, tables)
+    return bb.mont_mul(y, jnp.uint32(_n_inv_mont(log_n)))
+
+
+@jax.jit
+def _ntt_rev_to_nat_impl(x, tables):
+    """Forward transform consuming bit-reversed coefficients (DIT)."""
+    return _dit(x, int(np.log2(x.shape[-1])), tables)
+
+
+@jax.jit
+def _intt_nat_to_rev_impl(x, tables):
+    """Inverse transform emitting bit-reversed coefficients (DIF w/ w^-1)."""
+    log_n = int(np.log2(x.shape[-1]))
+    y = _dif(x, log_n, tables)
+    return bb.mont_mul(y, jnp.uint32(_n_inv_mont(log_n)))
 
 
 def ntt_natural_to_rev(x: jnp.ndarray) -> jnp.ndarray:
     log_n = int(np.log2(x.shape[-1]))
-    return _dif(x, log_n, inverse=False)
+    return _ntt_nat_to_rev_impl(x, _stage_tables(log_n, False))
 
 
 def intt_rev_to_natural(x: jnp.ndarray) -> jnp.ndarray:
     log_n = int(np.log2(x.shape[-1]))
-    y = _dit(x, log_n, inverse=True)
-    n_inv = bb.py_to_mont(pow(1 << log_n, bb.P - 2, bb.P))
-    return bb.mont_mul(y, jnp.uint32(n_inv))
+    return _intt_rev_to_nat_impl(x, _stage_tables(log_n, True))
 
 
 def bitrev(x: jnp.ndarray) -> jnp.ndarray:
+    """Explicit bit-reversal gather — cold paths only (slow on TPU)."""
     log_n = int(np.log2(x.shape[-1]))
     return jnp.take(x, _bitrev_device(log_n), axis=-1)
 
 
-@jax.jit
-def _ntt_impl(x, table, rev_idx):
-    log_n = int(np.log2(x.shape[-1]))
-    return jnp.take(_dif(x, log_n, False, table), rev_idx, axis=-1)
-
-
-@jax.jit
-def _intt_impl(x, table, rev_idx):
-    log_n = int(np.log2(x.shape[-1]))
-    y = _dit(jnp.take(x, rev_idx, axis=-1), log_n, True, table)
-    n_inv = bb.py_to_mont(pow(1 << log_n, bb.P - 2, bb.P))
-    return bb.mont_mul(y, jnp.uint32(n_inv))
-
-
 def ntt(x: jnp.ndarray) -> jnp.ndarray:
-    """Forward NTT, natural in / natural out (coeffs -> evals over H).
-
-    Twiddle/bitrev tables travel as jit arguments, not HLO constants."""
-    log_n = int(np.log2(x.shape[-1]))
-    return _ntt_impl(x, _root_table_device(log_n, False), _bitrev_device(log_n))
+    """Forward NTT, natural in / natural out (coeffs -> evals over H)."""
+    return bitrev(ntt_natural_to_rev(x))
 
 
 def intt(x: jnp.ndarray) -> jnp.ndarray:
     """Inverse NTT, natural in / natural out (evals over H -> coeffs)."""
-    log_n = int(np.log2(x.shape[-1]))
-    return _intt_impl(x, _root_table_device(log_n, True), _bitrev_device(log_n))
+    return intt_rev_to_natural(bitrev(x))
+
+
+# ---------------------------------------------------------------------------
+# gather-free coset LDE
 
 
 @functools.partial(jax.jit, static_argnums=(1,))
-def _coset_lde_impl(x, log_blowup, itable, irev, sp, ftable, frev):
+def _coset_lde_impl(x, log_blowup, inv_tables, sp_rev, fwd_tables):
     n = x.shape[-1]
     log_n = int(np.log2(n))
-    coeffs = _intt_impl.__wrapped__(x, itable, irev)
-    coeffs = bb.mont_mul(coeffs, sp)
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, n * ((1 << log_blowup) - 1))]
-    coeffs = jnp.pad(coeffs, pad)
-    return _ntt_impl.__wrapped__(coeffs, ftable, frev)
+    blowup = 1 << log_blowup
+    # natural evals -> bit-reversed coefficients (scaled by 1/n)
+    coeffs_rev = _intt_nat_to_rev_impl.__wrapped__(x, inv_tables)
+    # coset scale: shift^i in bit-reversed layout
+    coeffs_rev = bb.mont_mul(coeffs_rev, sp_rev)
+    # zero-pad in rev_N layout: rev_N(i) = rev_n(i) * blowup for i < n
+    pad_shape = [(0, 0)] * (x.ndim - 1) + [(0, 0), (0, blowup - 1)]
+    padded = jnp.pad(coeffs_rev[..., :, None], pad_shape).reshape(*x.shape[:-1], n * blowup)
+    # bit-reversed coefficients -> natural evaluations
+    return _ntt_rev_to_nat_impl.__wrapped__(padded, fwd_tables)
 
 
-def coset_lde(
-    x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR
-) -> jnp.ndarray:
-    """Low-degree extension of evaluations over H (size n, natural order) to
-    evaluations over the coset shift*K (K of size n*2^log_blowup, natural).
-
-    evals -> intt -> scale coeff_i by shift^i -> zero-pad -> ntt.
-    """
-    n = x.shape[-1]
-    log_n = int(np.log2(n))
+def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR) -> jnp.ndarray:
+    """Evals over H (natural) -> evals over coset shift*K (natural), no
+    gathers: intt-to-rev, rev-layout scale+pad, DIT forward."""
+    log_n = int(np.log2(x.shape[-1]))
     log_N = log_n + log_blowup
     return _coset_lde_impl(
         x,
         log_blowup,
-        _root_table_device(log_n, True),
-        _bitrev_device(log_n),
-        _shift_powers_device(log_n, shift, False),
-        _root_table_device(log_N, False),
-        _bitrev_device(log_N),
+        _stage_tables(log_n, True),
+        _shift_powers_rev_device(log_n, shift, False),
+        _stage_tables(log_N, False),
     )
+
+
+# -- coefficient access for prover paths -------------------------------------
+
+
+def interpolate_rev(x: jnp.ndarray) -> jnp.ndarray:
+    """Natural evals over H -> coefficients in bit-reversed order."""
+    log_n = int(np.log2(x.shape[-1]))
+    return _intt_nat_to_rev_impl(x, _stage_tables(log_n, True))
+
+
+def evaluate_from_rev(coeffs_rev: jnp.ndarray) -> jnp.ndarray:
+    """Bit-reversed coefficients -> natural evals over H."""
+    log_n = int(np.log2(coeffs_rev.shape[-1]))
+    return _ntt_rev_to_nat_impl(coeffs_rev, _stage_tables(log_n, False))
 
 
 def eval_poly_at_ext(coeffs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
     """Evaluate poly with base-field coeffs (..., n) at extension point z (4,)
     via Horner over a scan (tight sequential chain; used only for openings)."""
     from ..field import ext
-
-    n = coeffs.shape[-1]
 
     def body(acc, c):
         return ext.add(ext.mul(acc, z), ext.from_base(c)), None

@@ -27,7 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..field import babybear as bb
-from ..ntt.ntt import _dif, _root_table, _shift_powers, bitrev
+from ..ntt.ntt import _dif, _root_table, _shift_powers, _stage_tables, bitrev
 from ..stark.fri import _pow_table
 
 AXIS = "shard"
@@ -66,7 +66,7 @@ def _split_log(log_n: int):
 def _ntt_last_axis(x: jnp.ndarray, inverse: bool) -> jnp.ndarray:
     """Natural->natural (I)NTT along the last axis, without 1/n scaling."""
     log_m = int(np.log2(x.shape[-1]))
-    return bitrev(_dif(x, log_m, inverse))
+    return bitrev(_dif(x, log_m, _stage_tables(log_m, inverse)))
 
 
 def _four_step_local(x_local: jnp.ndarray, tw_local: jnp.ndarray, inverse: bool, n_dev: int):

@@ -198,15 +198,23 @@ def compute_quotient(
     zh_inv_m = jnp.asarray(np.tile(bb.np_to_mont(zh_inv), N // blowup))
     q = ext.mul_base(acc, zh_inv_m)
 
-    # interpolate on the coset, un-shift, split into chunks of degree < n
+    # interpolate on the coset and un-shift, all in bit-reversed coefficient
+    # layout (gather-free): chunk k of natural coeffs [kn,(k+1)n) lives at
+    # rev_N positions j*blowup + rev_b(k), so chunk extraction is a narrow
+    # strided slice of the (n_N, blowup)-reshaped rev coefficients.
+    from ..ntt import evaluate_from_rev, interpolate_rev
+    from ..ntt.ntt import _shift_powers_rev_device, bitrev_indices
+
     comps = jnp.moveaxis(q, -1, 0)  # (4, N)
-    coeffs = intt(comps)
-    sp = jnp.asarray(_shift_powers(log_n + config.log_blowup, config.coset_shift, inverse=True))
-    coeffs = bb.mont_mul(coeffs, sp)  # (4, N) coefficients
+    coeffs_rev = interpolate_rev(comps)  # (4, N) rev layout
+    sp_rev = _shift_powers_rev_device(log_n + config.log_blowup, config.coset_shift, True)
+    coeffs_rev = bb.mont_mul(coeffs_rev, sp_rev)
+    rev_b = bitrev_indices(config.log_blowup)
+    grouped = coeffs_rev.reshape(4, n, blowup)
     chunks = []
     for k in range(blowup):
-        chunk = coeffs[:, k * n : (k + 1) * n]  # (4, n)
-        evals = ntt(chunk)  # (4, n) over H
+        chunk_rev = grouped[:, :, int(rev_b[k])]  # (4, n) rev_n layout
+        evals = evaluate_from_rev(chunk_rev)  # (4, n) natural over H
         chunks.append(jnp.swapaxes(evals, 0, 1))  # (n, 4)
     return jnp.concatenate(chunks, axis=1)  # (n, 4*blowup)
 
