@@ -1,0 +1,71 @@
+"""OpenVM bus-interaction semantics for the solver.
+
+Counterpart of /root/reference/openvm-bus-interaction-handler/: each bus
+type induces range constraints on interaction arguments, which seed the
+solver's abstract domain:
+  * VariableRangeChecker (x, bits): x in [0, 2^bits)     (variable_range_checker.rs)
+  * BitwiseLookup (x, y, z, op): op=0 -> x,y bytes, z=0; op=1 -> bytes    (bitwise_lookup.rs)
+  * TupleRangeChecker[m1,m2] (a, b): a < m1, b < m2      (tuple_range_checker.rs)
+  * Memory / ExecutionBridge / PcLookup: no pure range semantics
+"""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+from ..solver.constraint_system import ConstraintSystemGE
+from ..solver.grouped_expression import GroupedExpression as GE
+from ..solver.range_constraint import RangeConstraint
+from .symbolic_machine import BusMap
+
+MAX_VAR_RANGE_BITS = 25
+BYTE = RangeConstraint.from_mask(0xFF)
+
+
+def _arg_ranges(bus_type, args: List[GE]) -> Optional[List[Optional[RangeConstraint]]]:
+    if bus_type == "VariableRangeChecker" and len(args) == 2:
+        bits = args[1].try_to_constant()
+        if bits is not None and bits <= MAX_VAR_RANGE_BITS:
+            return [RangeConstraint.from_mask((1 << bits) - 1), None]
+        return [RangeConstraint.from_mask((1 << MAX_VAR_RANGE_BITS) - 1), None]
+    if bus_type == "BitwiseLookup" and len(args) == 4:
+        op = args[3].try_to_constant()
+        if op == 0:
+            return [BYTE, BYTE, RangeConstraint.from_value(0), None]
+        if op == 1:
+            return [BYTE, BYTE, BYTE, None]
+        return [BYTE, BYTE, BYTE, RangeConstraint.from_mask(1)]
+    if isinstance(bus_type, tuple) and bus_type[0] == "TupleRangeChecker" and len(args) == 2:
+        m1, m2 = bus_type[1]
+        return [
+            RangeConstraint.from_range(0, m1 - 1),
+            RangeConstraint.from_range(0, m2 - 1),
+        ]
+    return None
+
+
+def seed_ranges(
+    system: ConstraintSystemGE, bus_map: BusMap
+) -> Tuple[Dict[int, RangeConstraint], List[GE]]:
+    """Initial per-variable range constraints + extra equality constraints
+    (for args forced to a single value, e.g. z=0 on op-0 bitwise rows)."""
+    ranges: Dict[int, RangeConstraint] = {}
+    extra: List[GE] = []
+    for b in system.bus_interactions:
+        bus_type = bus_map.bus_ids.get(b.id)
+        if bus_type is None:
+            continue
+        rcs = _arg_ranges(bus_type, b.args)
+        if rcs is None:
+            continue
+        for arg, rc in zip(b.args, rcs):
+            if rc is None:
+                continue
+            v = arg.try_to_simple_var()
+            if v is not None:
+                cur = ranges.get(v, RangeConstraint.default())
+                ranges[v] = cur.conjunction(rc)
+            else:
+                single = rc.try_to_single_value()
+                if single is not None and arg.try_to_constant() is None:
+                    extra.append(arg - GE.from_const(single))
+    return ranges, extra

