@@ -1,0 +1,224 @@
+"""VM executor: runs programs, produces per-chip witness records, memory
+boundary state, and the PC execution profile.
+
+Counterpart of the reference's preflight execution + tracegen arenas
+(/root/reference/openvm/src/powdr_extension/executor/mod.rs:457-600) and
+the PGO execution profile (autoprecompiles/src/execution_profile.rs:27-50),
+restructured natively: we execute once and emit witness records directly
+(no record-arena indirection — our chips are defined in this framework).
+
+Timestamp discipline: every instruction occupies TS_DELTA ticks; access k
+of an instruction at from_ts=T happens at T+k.  All cells start written
+at ts 0 by the memory-init boundary chip."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+from .isa import Instruction, OPCODE_ID, TS_DELTA
+from .machines import registry
+
+MASK32 = 0xFFFFFFFF
+
+
+@dataclass
+class ExecutionResult:
+    records: Dict[str, List[dict]]  # opcode -> witness records
+    pc_trace: List[int]
+    final_mem: Dict[Tuple[int, int], Tuple[int, int]]  # (space,ptr) -> (ts, value)
+    initial_cells: List[Tuple[int, int, int]]  # (space, ptr, value) touched at start
+    instret: int
+    halted: bool
+
+
+class Executor:
+    def __init__(self, program: List[Instruction], initial_mem: Optional[Dict[int, int]] = None):
+        self.program = program
+        self.regs = [0] * 32
+        self.mem: Dict[int, int] = dict(initial_mem or {})
+        self.initial_mem = dict(initial_mem or {})
+        # (space, ptr) -> (last_ts, value); everything starts at ts 0
+        self.cells: Dict[Tuple[int, int], Tuple[int, int]] = {}
+        self.touched_initial: Dict[Tuple[int, int], int] = {}
+
+    def _cell(self, space: int, ptr: int) -> Tuple[int, int]:
+        key = (space, ptr)
+        if key not in self.cells:
+            if space == 1:
+                init = 0
+            else:
+                init = self.initial_mem.get(ptr, 0)
+            self.cells[key] = (0, init)
+            self.touched_initial[key] = init
+        return self.cells[key]
+
+    def _read(self, space: int, ptr: int, t: int) -> Tuple[int, int]:
+        """Returns (prev_ts, value) and bumps the cell's timestamp."""
+        prev_ts, val = self._cell(space, ptr)
+        assert prev_ts < t, f"timestamp order violated at {(space, ptr)}"
+        self.cells[(space, ptr)] = (t, val)
+        return prev_ts, val
+
+    def _write(self, space: int, ptr: int, val: int, t: int) -> Tuple[int, int]:
+        prev_ts, prev = self._cell(space, ptr)
+        assert prev_ts < t
+        self.cells[(space, ptr)] = (t, val)
+        return prev_ts, prev
+
+    def run(self, max_steps: int = 1 << 20) -> ExecutionResult:
+        records: Dict[str, List[dict]] = {}
+        pc_trace: List[int] = []
+        pc, ts = 0, 1
+        halted = False
+        steps = 0
+        while steps < max_steps:
+            idx = pc // 4
+            assert 0 <= idx < len(self.program), f"pc {pc} out of program"
+            ins = self.program[idx]
+            pc_trace.append(pc)
+            rec = {
+                "op": ins.op,
+                "pc": pc,
+                "ts": ts,
+                "rd": ins.rd,
+                "rs1": ins.rs1,
+                "rs2": ins.rs2,
+                "imm": ins.imm % (1 << 32),
+                "prev_ts": [],
+            }
+            next_pc = pc + 4
+            op = ins.op
+            if op == "halt":
+                records.setdefault(op, []).append(rec)
+                halted = True
+                break
+            k = 0
+
+            def rd_reg(r):
+                nonlocal k
+                p, v = self._read(1, r, ts + k)
+                rec["prev_ts"].append(p)
+                k += 1
+                return v
+
+            def wr_reg(r, v):
+                nonlocal k
+                p, prev = self._write(1, r, v & MASK32, ts + k)
+                rec["prev_ts"].append(p)
+                k += 1
+                return prev
+
+            imm = ins.imm % (1 << 32)
+            if op in ("add", "sub", "and", "or", "xor", "mul", "sltu"):
+                a = rd_reg(ins.rs1)
+                y = rd_reg(ins.rs2)
+                rec["rs1_val"], rec["rs2_val"] = a, y
+                z = {
+                    "add": a + y,
+                    "sub": a - y,
+                    "and": a & y,
+                    "or": a | y,
+                    "xor": a ^ y,
+                    "mul": a * y,
+                    "sltu": 1 if a < y else 0,
+                }[op] & MASK32
+                rec["rd_prev"] = wr_reg(ins.rd, z)
+            elif op in ("addi", "andi", "ori", "xori"):
+                a = rd_reg(ins.rs1)
+                rec["rs1_val"] = a
+                z = {
+                    "addi": a + imm,
+                    "andi": a & imm,
+                    "ori": a | imm,
+                    "xori": a ^ imm,
+                }[op] & MASK32
+                rec["rd_prev"] = wr_reg(ins.rd, z)
+            elif op in ("slli", "srli"):
+                a = rd_reg(ins.rs1)
+                rec["rs1_val"] = a
+                s = imm & 31
+                z = (a << s) & MASK32 if op == "slli" else a >> s
+                rec["rd_prev"] = wr_reg(ins.rd, z)
+            elif op == "lui":
+                rec["rd_prev"] = wr_reg(ins.rd, imm)
+            elif op == "lw":
+                a = rd_reg(ins.rs1)
+                rec["rs1_val"] = a
+                addr = (a + imm) & MASK32
+                assert addr % 4 == 0 and addr < (1 << 30), f"bad addr {addr:#x}"
+                p, v = self._read(2, addr, ts + k)
+                rec["prev_ts"].append(p)
+                k += 1
+                rec["mem_val"] = v
+                rec["rd_prev"] = wr_reg(ins.rd, v)
+            elif op == "sw":
+                a = rd_reg(ins.rs1)
+                y = rd_reg(ins.rs2)
+                rec["rs1_val"], rec["rs2_val"] = a, y
+                addr = (a + imm) & MASK32
+                assert addr % 4 == 0 and addr < (1 << 30), f"bad addr {addr:#x}"
+                p, prev = self._write(2, addr, y, ts + k)
+                rec["prev_ts"].append(p)
+                k += 1
+                rec["mem_prev"] = prev
+            elif op in ("beq", "bne", "bltu"):
+                a = rd_reg(ins.rs1)
+                y = rd_reg(ins.rs2)
+                rec["rs1_val"], rec["rs2_val"] = a, y
+                taken = {"beq": a == y, "bne": a != y, "bltu": a < y}[op]
+                if taken:
+                    next_pc = imm
+            elif op == "jal":
+                rec["rd_prev"] = wr_reg(ins.rd, pc + 4)
+                next_pc = imm
+            elif op == "jalr":
+                a = rd_reg(ins.rs1)
+                rec["rs1_val"] = a
+                rec["rd_prev"] = wr_reg(ins.rd, pc + 4)
+                next_pc = (a + imm) & MASK32
+            else:
+                raise ValueError(f"unknown opcode {op}")
+            # keep python register file in sync for reads
+            if "rd_prev" in rec and ins.rd != 0:
+                pass
+            self.regs = self.regs  # register state lives in self.cells
+            records.setdefault(op, []).append(rec)
+            pc = next_pc
+            ts += TS_DELTA
+            steps += 1
+        assert halted, "program did not halt"
+        final = dict(self.cells)
+        initial = [(s, p, v) for (s, p), v in sorted(self.touched_initial.items())]
+        return ExecutionResult(
+            records=records,
+            pc_trace=pc_trace,
+            final_mem=final,
+            initial_cells=initial,
+            instret=steps + 1,
+            halted=halted,
+        )
+
+
+# -- assembler ---------------------------------------------------------------
+
+
+def assemble(lines: List[Tuple], labels_at: Optional[Dict[str, int]] = None) -> List[Instruction]:
+    """Tiny assembler: each line is (op, rd, rs1, rs2, imm) with imm either
+    an int or a label string; 'label:' entries define positions."""
+    labels: Dict[str, int] = {}
+    insns: List[Tuple] = []
+    for line in lines:
+        if isinstance(line, str):
+            assert line.endswith(":")
+            labels[line[:-1]] = len(insns) * 4
+        else:
+            insns.append(line)
+    out = []
+    for t in insns:
+        op = t[0]
+        rd, rs1, rs2, imm = (list(t[1:]) + [0, 0, 0, 0])[:4]
+        if isinstance(imm, str):
+            imm = labels[imm]
+        assert not (op not in ("halt",) and rd == 0 and op in ("add", "addi", "lui", "lw", "jal", "jalr", "mul", "sub", "and", "or", "xor", "andi", "ori", "xori", "slli", "srli")), "writes to x0 unsupported"
+        out.append(Instruction(op=op, rd=rd, rs1=rs1, rs2=rs2, imm=imm))
+    return out

@@ -1,0 +1,200 @@
+"""Guest workloads, counterparts of the reference's guest programs
+(/root/reference/openvm-riscv/guest-sha256, guest-matmul, guest-u256):
+written against our assembler since no RISC-V cross-compiler exists in
+this environment.  Each returns (program, initial_mem, check_fn)."""
+from __future__ import annotations
+
+import hashlib
+import struct
+from typing import Callable, Dict, List, Tuple
+
+from .executor import assemble
+from .isa import Instruction
+
+# memory map
+SHA_IN = 0x100  # 64-byte input block
+SHA_W = 0x200  # message schedule (64 words)
+SHA_OUT = 0x300  # 8-word digest
+
+_K = [
+    0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
+    0x923F82A4, 0xAB1C5ED5, 0xD807AA98, 0x12835B01, 0x243185BE, 0x550C7DC3,
+    0x72BE5D74, 0x80DEB1FE, 0x9BDC06A7, 0xC19BF174, 0xE49B69C1, 0xEFBE4786,
+    0x0FC19DC6, 0x240CA1CC, 0x2DE92C6F, 0x4A7484AA, 0x5CB0A9DC, 0x76F988DA,
+    0x983E5152, 0xA831C66D, 0xB00327C8, 0xBF597FC7, 0xC6E00BF3, 0xD5A79147,
+    0x06CA6351, 0x14292967, 0x27B70A85, 0x2E1B2138, 0x4D2C6DFC, 0x53380D13,
+    0x650A7354, 0x766A0ABB, 0x81C2C92E, 0x92722C85, 0xA2BFE8A1, 0xA81A664B,
+    0xC24B8B70, 0xC76C51A3, 0xD192E819, 0xD6990624, 0xF40E3585, 0x106AA070,
+    0x19A4C116, 0x1E376C08, 0x2748774C, 0x34B0BCB5, 0x391C0CB3, 0x4ED8AA4A,
+    0x5B9CCA4F, 0x682E6FF3, 0x748F82EE, 0x78A5636F, 0x84C87814, 0x8CC70208,
+    0x90BEFFFA, 0xA4506CEB, 0xBEF9A3F7, 0xC67178F2,
+]
+_H0 = [0x6A09E667, 0xBB67AE85, 0x3C6EF372, 0xA54FF53A, 0x510E527F, 0x9B05688C,
+       0x1F83D9AB, 0x5BE0CD19]
+
+
+def _ror(L, dst, src, n, t1=1, t2=2):
+    """dst = ror(src, n) using t1/t2 as scratch (t2 may equal dst)."""
+    L.append(("srli", t1, src, 0, n))
+    L.append(("slli", dst, src, 0, (32 - n) % 32))
+    L.append(("or", dst, dst, t1))
+
+
+def sha256_guest() -> Tuple[List[Instruction], Dict[int, int], Callable]:
+    """One SHA-256 compression of the padded block for message "abc"."""
+    msg = b"abc"
+    padded = msg + b"\x80" + b"\x00" * (55 - len(msg)) + struct.pack(">Q", len(msg) * 8)
+    words = struct.unpack(">16I", padded)
+    mem = {SHA_IN + 4 * i: w for i, w in enumerate(words)}
+
+    L: List = []
+    # copy input into schedule
+    for i in range(16):
+        L.append(("lw", 3, 0, 0, SHA_IN + 4 * i))
+        L.append(("sw", 0, 0, 3, SHA_W + 4 * i))
+    # extend
+    for i in range(16, 64):
+        L.append(("lw", 3, 0, 0, SHA_W + 4 * (i - 15)))
+        _ror(L, 4, 3, 7)
+        _ror(L, 5, 3, 18)
+        L.append(("srli", 6, 3, 0, 3))
+        L.append(("xor", 4, 4, 5))
+        L.append(("xor", 4, 4, 6))  # s0
+        L.append(("lw", 3, 0, 0, SHA_W + 4 * (i - 2)))
+        _ror(L, 5, 3, 17)
+        _ror(L, 6, 3, 19)
+        L.append(("srli", 7, 3, 0, 10))
+        L.append(("xor", 5, 5, 6))
+        L.append(("xor", 5, 5, 7))  # s1
+        L.append(("lw", 3, 0, 0, SHA_W + 4 * (i - 16)))
+        L.append(("add", 3, 3, 4))
+        L.append(("lw", 6, 0, 0, SHA_W + 4 * (i - 7)))
+        L.append(("add", 3, 3, 6))
+        L.append(("add", 3, 3, 5))
+        L.append(("sw", 0, 0, 3, SHA_W + 4 * i))
+    # init state a..h = x8..x15
+    for j, h in enumerate(_H0):
+        L.append(("lui", 8 + j, 0, 0, h))
+    # rounds
+    for i in range(64):
+        e = 12
+        _ror(L, 1, e, 6, t1=2)
+        _ror(L, 3, e, 11, t1=2)
+        L.append(("xor", 1, 1, 3))
+        _ror(L, 3, e, 25, t1=2)
+        L.append(("xor", 1, 1, 3))  # S1 -> x1
+        L.append(("xor", 2, 13, 14))
+        L.append(("and", 2, 12, 2))
+        L.append(("xor", 2, 2, 14))  # ch -> x2
+        L.append(("add", 1, 1, 2))
+        L.append(("add", 1, 1, 15))  # + h
+        L.append(("lui", 2, 0, 0, _K[i]))
+        L.append(("add", 1, 1, 2))
+        L.append(("lw", 2, 0, 0, SHA_W + 4 * i))
+        L.append(("add", 1, 1, 2))  # temp1 -> x1
+        a = 8
+        _ror(L, 2, a, 2, t1=3)
+        _ror(L, 4, a, 13, t1=3)
+        L.append(("xor", 2, 2, 4))
+        _ror(L, 4, a, 22, t1=3)
+        L.append(("xor", 2, 2, 4))  # S0 -> x2
+        L.append(("and", 3, 9, 10))
+        L.append(("or", 4, 9, 10))
+        L.append(("and", 4, 8, 4))
+        L.append(("or", 3, 3, 4))  # maj -> x3
+        L.append(("add", 2, 2, 3))  # temp2 -> x2
+        L.append(("addi", 15, 14, 0, 0))  # h = g
+        L.append(("addi", 14, 13, 0, 0))  # g = f
+        L.append(("addi", 13, 12, 0, 0))  # f = e
+        L.append(("add", 12, 11, 1))  # e = d + t1
+        L.append(("addi", 11, 10, 0, 0))  # d = c
+        L.append(("addi", 10, 9, 0, 0))  # c = b
+        L.append(("addi", 9, 8, 0, 0))  # b = a
+        L.append(("add", 8, 1, 2))  # a = t1 + t2
+    # output digest
+    for j, h in enumerate(_H0):
+        L.append(("lui", 1, 0, 0, h))
+        L.append(("add", 1, 1, 8 + j))
+        L.append(("sw", 0, 0, 1, SHA_OUT + 4 * j))
+    L.append(("halt",))
+
+    expect = hashlib.sha256(msg).digest()
+    expect_words = struct.unpack(">8I", expect)
+
+    def check(result):
+        got = [result.final_mem[(2, SHA_OUT + 4 * j)][1] for j in range(8)]
+        assert tuple(got) == expect_words, (got, expect_words)
+
+    return assemble(L), mem, check
+
+
+MM_A, MM_B, MM_C = 0x400, 0x440, 0x480
+
+
+def matmul_guest(n: int = 4):
+    """n x n int32 matrix multiply (guest-matmul counterpart)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    A = rng.integers(0, 1 << 15, size=(n, n), dtype=np.int64)
+    B = rng.integers(0, 1 << 15, size=(n, n), dtype=np.int64)
+    C = (A @ B) & 0xFFFFFFFF
+    mem = {}
+    for i in range(n):
+        for j in range(n):
+            mem[MM_A + 4 * (n * i + j)] = int(A[i, j])
+            mem[MM_B + 4 * (n * i + j)] = int(B[i, j])
+    L: List = []
+    for i in range(n):
+        for j in range(n):
+            L.append(("addi", 3, 0, 0, 0))
+            for k in range(n):
+                L.append(("lw", 1, 0, 0, MM_A + 4 * (n * i + k)))
+                L.append(("lw", 2, 0, 0, MM_B + 4 * (n * k + j)))
+                L.append(("mul", 1, 1, 2))
+                L.append(("add", 3, 3, 1))
+            L.append(("sw", 0, 0, 3, MM_C + 4 * (n * i + j)))
+    L.append(("halt",))
+
+    def check(result):
+        for i in range(n):
+            for j in range(n):
+                got = result.final_mem[(2, MM_C + 4 * (n * i + j))][1]
+                assert got == int(C[i, j])
+
+    return assemble(L), mem, check
+
+
+U_A, U_B, U_S = 0x500, 0x520, 0x540
+
+
+def u256_add_guest():
+    """256-bit addition with limb carries (guest-u256 counterpart)."""
+    a = 0xFEDCBA9876543210FEDCBA9876543210FFFFFFFFFFFFFFFF0123456789ABCDEF
+    b = 0x0123456789ABCDEF0123456789ABCDEF00000000000000010123456789ABCDEF
+    mem = {}
+    for i in range(8):
+        mem[U_A + 4 * i] = (a >> (32 * i)) & 0xFFFFFFFF
+        mem[U_B + 4 * i] = (b >> (32 * i)) & 0xFFFFFFFF
+    L: List = []
+    L.append(("addi", 5, 0, 0, 0))  # carry
+    for i in range(8):
+        L.append(("lw", 1, 0, 0, U_A + 4 * i))
+        L.append(("lw", 2, 0, 0, U_B + 4 * i))
+        L.append(("add", 3, 1, 2))
+        L.append(("sltu", 4, 3, 1))  # c1 = s < a
+        L.append(("addi", 7, 3, 0, 0))
+        L.append(("add", 3, 7, 5))
+        L.append(("sltu", 6, 3, 7))  # c2 = wrapped adding carry
+        L.append(("or", 5, 4, 6))
+        L.append(("sw", 0, 0, 3, U_S + 4 * i))
+    L.append(("halt",))
+    s = (a + b) & ((1 << 256) - 1)
+
+    def check(result):
+        got = 0
+        for i in range(8):
+            got |= result.final_mem[(2, U_S + 4 * i)][1] << (32 * i)
+        assert got == s, (hex(got), hex(s))
+
+    return assemble(L), mem, check

@@ -1,0 +1,316 @@
+"""Full VM chip system: instruction chips + program chip + memory boundary
++ periphery tables, with witness assembly and a mock checker.
+
+Mock checking (constraints evaluated row-wise + exact bus multiset
+balance) is the counterpart of the reference's mock proving
+(`prove_mock` -> do_with_trace + debug_proving_ctx,
+/root/reference/openvm-riscv/src/lib.rs:288-296): it validates executor,
+witgen and machine definitions end-to-end without a STARK, so it runs in
+CI; real proofs of the same system go through powdr_tpu.stark."""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from ..ir import expression as ir
+from ..apc.symbolic_machine import SymbolicBusInteraction, SymbolicMachine
+from .executor import ExecutionResult
+from .isa import (
+    BITWISE_BUS,
+    EXEC_BUS,
+    MEM_BUS,
+    OPCODE_ID,
+    PC_BUS,
+    POW2_BUS,
+    RANGE_BUS,
+    TS_DELTA,
+    Instruction,
+    MachineBuilder,
+)
+from .machines import registry
+
+P = 2013265921
+MAX_RANGE_BITS = 16  # table size 2^(bits+1); must cover isa.DT_BITS
+
+
+@dataclass
+class Chip:
+    name: str
+    machine: SymbolicMachine
+    cols: List[str]
+    trace: Dict[str, np.ndarray]  # col name -> uint64 values (canonical)
+    preprocessed: Set[str] = field(default_factory=set)
+
+    @property
+    def height(self) -> int:
+        return len(next(iter(self.trace.values()))) if self.trace else 0
+
+
+def _pad_pow2(trace: Dict[str, np.ndarray], min_height: int = 1) -> Dict[str, np.ndarray]:
+    n = max((len(v) for v in trace.values()), default=0)
+    n = max(n, min_height, 1)
+    pow2 = 1 << (n - 1).bit_length()
+    return {k: np.pad(np.asarray(v, dtype=np.uint64), (0, pow2 - len(v))) for k, v in trace.items()}
+
+
+# -- instruction chips --------------------------------------------------------
+
+
+def instruction_chips(result: ExecutionResult) -> List[Chip]:
+    chips = []
+    for op, (builder, wg) in registry().items():
+        recs = result.records.get(op, [])
+        if not recs:
+            continue
+        rows = [wg(r) for r in recs]
+        cols = builder.cols
+        trace = {
+            c: np.array([row.get(c, 0) % P for row in rows], dtype=np.uint64) for c in cols
+        }
+        chips.append(
+            Chip(name=op, machine=builder.machine(), cols=cols, trace=_pad_pow2(trace))
+        )
+    return chips
+
+
+# -- program chip -------------------------------------------------------------
+
+
+def program_chip(program: List[Instruction], pc_trace: List[int]) -> Chip:
+    b = MachineBuilder(name="program")
+    cols = ["pc", "opcode", "rd", "rs1", "rs2", "imm_lo", "imm_hi", "count"]
+    vars_ = {c: b.col(c) for c in cols}
+    b.receive(
+        PC_BUS,
+        vars_["count"],
+        [vars_[c] for c in cols[:-1]],
+    )
+    counts: Dict[int, int] = {}
+    for pc in pc_trace:
+        counts[pc] = counts.get(pc, 0) + 1
+    rows = {c: [] for c in cols}
+    for i, ins in enumerate(program):
+        pc = 4 * i
+        args = ins.pc_args(pc)
+        for c, v in zip(cols[:-1], args):
+            rows[c].append(v % P)
+        rows["count"].append(counts.get(pc, 0))
+    return Chip(
+        name="program",
+        machine=b.machine(),
+        cols=b.cols,
+        trace=_pad_pow2({c: np.array(v, dtype=np.uint64) for c, v in rows.items()}),
+        preprocessed=set(cols[:-1]),
+    )
+
+
+# -- boundary chips -----------------------------------------------------------
+
+
+def exec_boundary_chip() -> Chip:
+    b = MachineBuilder(name="exec_init")
+    active = b.col("active")
+    b.require(ir.Mul(active, ir.Sub(active, ir.Const(1))))
+    b.send(EXEC_BUS, active, [ir.Const(0), ir.Const(1)])
+    trace = {"active": np.array([1], dtype=np.uint64)}
+    return Chip(name="exec_init", machine=b.machine(), cols=b.cols, trace=_pad_pow2(trace))
+
+
+def memory_boundary_chip(result: ExecutionResult) -> Chip:
+    b = MachineBuilder(name="mem_boundary")
+    active = b.col("active")
+    space = b.col("space")
+    ptr = b.col("ptr")
+    ib = b.cols4("init_b")
+    fb = b.cols4("final_b")
+    final_ts = b.col("final_ts")
+    b.require(ir.Mul(active, ir.Sub(active, ir.Const(1))))
+    b.send(MEM_BUS, active, [space, ptr, *ib, ir.Const(0)])
+    b.receive(MEM_BUS, active, [space, ptr, *fb, final_ts])
+    rows = {c: [] for c in b.cols}
+    for (sp, pt), (ts, val) in sorted(result.final_mem.items()):
+        init = dict(((s, p), v) for s, p, v in result.initial_cells)[(sp, pt)]
+        rows["active"].append(1)
+        rows["space"].append(sp)
+        rows["ptr"].append(pt)
+        for i in range(4):
+            rows[f"init_b__{i}"].append((init >> (8 * i)) & 0xFF)
+            rows[f"final_b__{i}"].append((val >> (8 * i)) & 0xFF)
+        rows["final_ts"].append(ts)
+    return Chip(
+        name="mem_boundary",
+        machine=b.machine(),
+        cols=b.cols,
+        trace=_pad_pow2({c: np.array(v, dtype=np.uint64) for c, v in rows.items()}),
+    )
+
+
+# -- periphery tables ---------------------------------------------------------
+
+
+def range_checker_chip(counts: Dict[Tuple[int, int], int]) -> Chip:
+    b = MachineBuilder(name="range_checker")
+    value = b.col("value")
+    bits = b.col("bits")
+    count = b.col("count")
+    b.receive(RANGE_BUS, count, [value, bits])
+    rows = {"value": [], "bits": [], "count": []}
+    for bb in range(MAX_RANGE_BITS + 1):
+        for v in range(1 << bb):
+            rows["value"].append(v)
+            rows["bits"].append(bb)
+            rows["count"].append(counts.get((v, bb), 0))
+    return Chip(
+        name="range_checker",
+        machine=b.machine(),
+        cols=b.cols,
+        trace=_pad_pow2({c: np.array(v, dtype=np.uint64) for c, v in rows.items()}),
+        preprocessed={"value", "bits"},
+    )
+
+
+def bitwise_chip(counts: Dict[Tuple[int, int, int, int], int]) -> Chip:
+    """Full byte-pair table: op0 rows (x, y, 0, 0) and op1 rows (x, y, x^y, 1)."""
+    b = MachineBuilder(name="bitwise")
+    x = b.col("x")
+    y = b.col("y")
+    z = b.col("z")
+    op = b.col("op")
+    count = b.col("count")
+    b.receive(BITWISE_BUS, count, [x, y, z, op])
+    xs = np.arange(256, dtype=np.uint64)
+    gx, gy = np.meshgrid(xs, xs, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    rows = {
+        "x": np.concatenate([gx, gx]),
+        "y": np.concatenate([gy, gy]),
+        "z": np.concatenate([np.zeros_like(gx), gx ^ gy]),
+        "op": np.concatenate([np.zeros_like(gx), np.ones_like(gx)]),
+    }
+    cnt = np.zeros(2 * 65536, dtype=np.uint64)
+    for (cx, cy, cz, cop), c in counts.items():
+        idx = cop * 65536 + cx * 256 + cy
+        cnt[idx] += c
+    rows["count"] = cnt
+    return Chip(
+        name="bitwise",
+        machine=b.machine(),
+        cols=b.cols,
+        trace=_pad_pow2(rows),
+        preprocessed={"x", "y", "z", "op"},
+    )
+
+
+def pow2_chip(counts: Dict[int, int]) -> Chip:
+    b = MachineBuilder(name="pow2")
+    s = b.col("s")
+    pb = b.cols4("p2")
+    count = b.col("count")
+    b.receive(POW2_BUS, count, [s, *pb])
+    rows = {c: [] for c in b.cols}
+    for sv in range(33):
+        p2 = 1 << sv
+        rows["s"].append(sv)
+        for i in range(4):
+            rows[f"p2__{i}"].append((p2 >> (8 * i)) & 0xFF)
+        rows["count"].append(counts.get(sv, 0))
+    return Chip(
+        name="pow2",
+        machine=b.machine(),
+        cols=b.cols,
+        trace=_pad_pow2({c: np.array(v, dtype=np.uint64) for c, v in rows.items()}),
+        preprocessed={"s", "p2__0", "p2__1", "p2__2", "p2__3"},
+    )
+
+
+# -- evaluation / mock check --------------------------------------------------
+
+
+def _np_algebra(trace: Dict[str, np.ndarray], names: Dict[int, str], height: int):
+    def col(name):
+        arr = trace[name]
+        assert len(arr) == height
+        return arr
+
+    return ir.Algebra(
+        add=lambda a, b: (a + b) % P,
+        sub=lambda a, b: (a + P - b) % P,  # avoid uint64 underflow wrap
+        mul=lambda a, b: (a * b) % P,
+        neg=lambda a: (P - a) % P,
+        const=lambda v: np.full(height, v % P, dtype=np.uint64),
+        col=lambda i, r: (_ for _ in ()).throw(ValueError("no Col in VM machines")),
+        perm_col=None,
+        challenge=None,
+        public=None,
+        is_first=None,
+        is_last=None,
+        is_transition=None,
+        var=lambda name, id_: col(name),
+    )
+
+
+def evaluate_chip_exprs(chip: Chip):
+    """Evaluate constraints + interaction mult/args over all rows (numpy)."""
+    names = chip.machine.variables()
+    h = chip.height
+    alg = _np_algebra(chip.trace, names, h)
+    cache: Dict[int, np.ndarray] = {}
+    cons = [ir.evaluate(c, alg, cache) for c in chip.machine.constraints]
+    ints = []
+    for bi in chip.machine.bus_interactions:
+        mult = ir.evaluate(bi.mult, alg, cache)
+        args = [ir.evaluate(a, alg, cache) for a in bi.args]
+        ints.append((bi.id, mult, args))
+    return cons, ints
+
+
+def mock_check(chips: List[Chip]) -> None:
+    """Raises AssertionError with a precise location on any violation."""
+    buses: Dict[Tuple, int] = {}
+    for chip in chips:
+        cons, ints = evaluate_chip_exprs(chip)
+        for ci, arr in enumerate(cons):
+            bad = np.nonzero(arr)[0]
+            assert bad.size == 0, (
+                f"chip {chip.name}: constraint {ci} fails at rows {bad[:5]}"
+            )
+        for bus_id, mult, args in ints:
+            nz = np.nonzero(mult)[0]
+            for r in nz:
+                key = (bus_id, tuple(int(a[r]) for a in args))
+                buses[key] = (buses.get(key, 0) + int(mult[r])) % P
+    imbalance = {k: v for k, v in buses.items() if v % P != 0}
+    assert not imbalance, f"bus imbalance on {len(imbalance)} messages, e.g. {list(imbalance.items())[:3]}"
+
+
+# -- full system assembly -----------------------------------------------------
+
+
+def build_chips(program: List[Instruction], result: ExecutionResult) -> List[Chip]:
+    chips = instruction_chips(result)
+    chips.append(program_chip(program, result.pc_trace))
+    chips.append(exec_boundary_chip())
+    chips.append(memory_boundary_chip(result))
+    # periphery counts from the already-built chips' interactions
+    range_counts: Dict[Tuple[int, int], int] = {}
+    bitwise_counts: Dict[Tuple[int, int, int, int], int] = {}
+    pow2_counts: Dict[int, int] = {}
+    for chip in chips:
+        _, ints = evaluate_chip_exprs(chip)
+        for bus_id, mult, args in ints:
+            nz = np.nonzero(mult)[0]
+            for r in nz:
+                m = int(mult[r])
+                vals = tuple(int(a[r]) for a in args)
+                if bus_id == RANGE_BUS:
+                    range_counts[(vals[0], vals[1])] = range_counts.get((vals[0], vals[1]), 0) + m
+                elif bus_id == BITWISE_BUS:
+                    bitwise_counts[vals] = bitwise_counts.get(vals, 0) + m
+                elif bus_id == POW2_BUS:
+                    pow2_counts[vals[0]] = pow2_counts.get(vals[0], 0) + m
+    chips.append(range_checker_chip(range_counts))
+    chips.append(bitwise_chip(bitwise_counts))
+    chips.append(pow2_chip(pow2_counts))
+    return chips
