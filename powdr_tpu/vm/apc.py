@@ -1,0 +1,249 @@
+"""Autoprecompile construction for the VM: block -> optimized machine ->
+witness -> chip.
+
+Counterpart of the reference's build() pipeline
+(/root/reference/autoprecompiles/src/lib.rs:284-390: machine generation ->
+optimization -> Apc with substitutions) and its trace handler
+(trace_handler.rs:40): witness generation is a pure gather — every APC
+column's value comes from the corresponding original instruction record,
+because the optimizer records eliminated columns as derived and the
+remaining ones keep their (instruction, column) identity in `subs`."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..apc.optimizer import DegreeBound, OptimizeReport, optimize_machine
+from ..apc.symbolic_machine import SymbolicBusInteraction, SymbolicMachine
+from ..ir import expression as ir
+from .blocks import BasicBlock
+from .executor import ExecutionResult
+from .isa import OPCODE_ID, PC_BUS, TS_DELTA, VM_BUS_MAP
+from .machines import registry
+from .system import Chip, _pad_pow2
+
+P = 2013265921
+
+
+@dataclass
+class VmApc:
+    block: BasicBlock
+    machine: SymbolicMachine  # optimized
+    #: apc var id -> (instruction index in block, original column name)
+    subs: Dict[int, Tuple[int, str]]
+    report: OptimizeReport
+    name: str = "apc"
+
+
+def build_apc(block: BasicBlock, degree_bound: Optional[DegreeBound] = None) -> VmApc:
+    """Concatenate the block's instruction machines with fresh column ids,
+    substitute pc-lookup operands with the block's constants, drop the
+    pc-lookup interactions, then run the optimizer
+    (symbolic_machine_generator.rs:118,134 + optimizer.rs:34 parity)."""
+    constraints: List[ir.Expr] = []
+    interactions: List[SymbolicBusInteraction] = []
+    subs: Dict[int, Tuple[int, str]] = {}
+    next_id = 0
+    for i, ins in enumerate(block.instructions):
+        builder, _ = registry()[ins.op]
+        local_machine = builder.machine()
+        # operand constants for this instruction
+        imm = ins.imm % (1 << 32)
+        const_map = {
+            "rd_ptr": ins.rd,
+            "rs1_ptr": ins.rs1,
+            "rs2_ptr": ins.rs2,
+            "imm_lo": imm & 0xFFFF,
+            "imm_hi": imm >> 16,
+        }
+        id_map: Dict[int, ir.Expr] = {}
+        for local_id, name in enumerate(builder.cols):
+            if name in const_map:
+                id_map[local_id] = ir.Const(const_map[name])
+            else:
+                id_map[local_id] = ir.Var(name=f"{name}_{i}", id=next_id)
+                subs[next_id] = (i, name)
+                next_id += 1
+
+        def remap(e: ir.Expr) -> ir.Expr:
+            if isinstance(e, ir.Var):
+                return id_map[e.id]
+            if isinstance(e, ir.Const):
+                return e
+            if isinstance(e, ir.Add):
+                return ir.Add(remap(e.lhs), remap(e.rhs))
+            if isinstance(e, ir.Sub):
+                return ir.Sub(remap(e.lhs), remap(e.rhs))
+            if isinstance(e, ir.Mul):
+                return ir.Mul(remap(e.lhs), remap(e.rhs))
+            if isinstance(e, ir.Neg):
+                return ir.Neg(remap(e.operand))
+            raise TypeError(type(e))
+
+        for c in local_machine.constraints:
+            constraints.append(remap(c))
+        for b in local_machine.bus_interactions:
+            if b.id == PC_BUS:
+                continue  # fixed program: operands substituted above
+            interactions.append(
+                SymbolicBusInteraction(
+                    id=b.id, mult=remap(b.mult), args=[remap(a) for a in b.args]
+                )
+            )
+    machine = SymbolicMachine(constraints=constraints, bus_interactions=interactions)
+    optimized, report = optimize_machine(machine, VM_BUS_MAP, degree_bound)
+    return VmApc(
+        block=block,
+        machine=optimized,
+        subs=subs,
+        report=report,
+        name=f"apc_{block.start_pc:#x}",
+    )
+
+
+# -- occurrence finding -------------------------------------------------------
+
+
+def find_occurrences(block: BasicBlock, result: ExecutionResult) -> List[List[int]]:
+    """Positions (pc_trace indices) of full executions of the block.
+    Returns a list of per-occurrence lists of trace positions."""
+    pcs = block.pcs
+    out = []
+    i = 0
+    trace = result.pc_trace
+    n = len(trace)
+    while i < n:
+        if trace[i] == pcs[0] and i + len(pcs) <= n and trace[i : i + len(pcs)] == pcs:
+            out.append(list(range(i, i + len(pcs))))
+            i += len(pcs)
+        else:
+            i += 1
+    return out
+
+
+def _record_index(result: ExecutionResult, program) -> List[Tuple[str, int]]:
+    """pc_trace position -> (opcode, index into records[opcode])."""
+    counters: Dict[str, int] = {}
+    out = []
+    for pc in result.pc_trace:
+        op = program[pc // 4].op
+        k = counters.get(op, 0)
+        counters[op] = k + 1
+        out.append((op, k))
+    return out
+
+
+# -- witness generation (gather) ---------------------------------------------
+
+
+def apc_chip(
+    apc: VmApc,
+    occurrences: List[List[int]],
+    result: ExecutionResult,
+    program,
+) -> Chip:
+    """Build the APC chip's trace: one row per block execution; every
+    column gathered from the original instruction records via `subs`.
+
+    This is the reference's CUDA gather-substitution kernel
+    (openvm/cuda/src/apc_tracegen.cu:35-66) expressed as a host gather;
+    powdr_tpu.apc.trace_handler has the jitted device version."""
+    from .machines import registry as reg
+
+    rec_index = _record_index(result, program)
+    main = apc.machine.main_columns()  # id -> name
+    rows = []
+    for occ in occurrences:
+        # compute the original witness rows for each instruction
+        inst_cols: List[Dict[str, int]] = []
+        for pos in occ:
+            op, k = rec_index[pos]
+            _, wg = reg()[op]
+            inst_cols.append(wg(result.records[op][k]))
+        row = {}
+        for var_id, name in main.items():
+            i, col = apc.subs[var_id]
+            row[name] = inst_cols[i].get(col, 0) % P
+        rows.append(row)
+    cols = [main[k] for k in sorted(main)]
+    trace = {
+        c: np.array([r.get(c, 0) for r in rows], dtype=np.uint64) for c in cols
+    }
+    # renumber machine vars to dense column ids? keep names — Chip traces
+    # are keyed by name and the machine references names via Var
+    return Chip(
+        name=apc.name, machine=apc.machine, cols=cols, trace=_pad_pow2(trace)
+    )
+
+
+def build_chips_with_apcs(
+    program,
+    result: ExecutionResult,
+    apcs: List[VmApc],
+) -> List[Chip]:
+    """Like system.build_chips but with block executions replaced by APC
+    rows (the reference's SpecializedConfig + PowdrExtension analog)."""
+    from . import system as system_mod
+
+    rec_index = _record_index(result, program)
+    consumed: Dict[str, set] = {}
+    apc_chips = []
+    apc_positions = set()
+    for apc in apcs:
+        occs = find_occurrences(apc.block, result)
+        occs = [occ for occ in occs if not any(p in apc_positions for p in occ)]
+        for occ in occs:
+            apc_positions.update(occ)
+            for pos in occ:
+                op, k = rec_index[pos]
+                consumed.setdefault(op, set()).add(k)
+        if occs:
+            apc_chips.append(apc_chip(apc, occs, result, program))
+
+    # instruction chips without consumed records
+    filtered_records = {
+        op: [r for k, r in enumerate(recs) if k not in consumed.get(op, set())]
+        for op, recs in result.records.items()
+    }
+    filtered_records = {op: recs for op, recs in filtered_records.items() if recs}
+    sub_result = ExecutionResult(
+        records=filtered_records,
+        pc_trace=result.pc_trace,
+        final_mem=result.final_mem,
+        initial_cells=result.initial_cells,
+        instret=result.instret,
+        halted=result.halted,
+    )
+    chips = system_mod.instruction_chips(sub_result)
+    # program chip counts only non-APC executions
+    non_apc_trace = [pc for i, pc in enumerate(result.pc_trace) if i not in apc_positions]
+    chips.append(system_mod.program_chip(program, non_apc_trace))
+    chips.append(system_mod.exec_boundary_chip())
+    chips.append(system_mod.memory_boundary_chip(result))
+    chips.extend(apc_chips)
+    # periphery counts from everything built so far
+    range_counts: Dict[Tuple[int, int], int] = {}
+    bitwise_counts: Dict[Tuple[int, int, int, int], int] = {}
+    pow2_counts: Dict[int, int] = {}
+    from .isa import BITWISE_BUS, POW2_BUS, RANGE_BUS
+
+    for chip in chips:
+        _, ints = system_mod.evaluate_chip_exprs(chip)
+        for bus_id, mult, args in ints:
+            nz = np.nonzero(mult)[0]
+            for r in nz:
+                m = int(mult[r])
+                vals = tuple(int(a[r]) for a in args)
+                if bus_id == RANGE_BUS:
+                    key = (vals[0], vals[1])
+                    range_counts[key] = (range_counts.get(key, 0) + m) % P
+                elif bus_id == BITWISE_BUS:
+                    bitwise_counts[vals] = (bitwise_counts.get(vals, 0) + m) % P
+                elif bus_id == POW2_BUS:
+                    pow2_counts[vals[0]] = (pow2_counts.get(vals[0], 0) + m) % P
+    chips.append(system_mod.range_checker_chip(range_counts))
+    chips.append(system_mod.bitwise_chip(bitwise_counts))
+    chips.append(system_mod.pow2_chip(pow2_counts))
+    return chips
