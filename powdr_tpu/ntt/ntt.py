@@ -48,17 +48,32 @@ def _root_table(log_n: int, inverse: bool) -> np.ndarray:
     return bb.np_to_mont(out.astype(np.uint32))
 
 
-@functools.lru_cache(maxsize=None)
-def _stage_tables(log_n: int, inverse: bool):
-    """Per-stage contiguous twiddle arrays, device-resident.
+def _tracing() -> bool:
+    """True while inside a jit trace — device_put there would leak tracers
+    into the host-side caches."""
+    from jax._src import core as _core
 
-    Stage s (DIF order, block size m = n >> s) uses w_m^j for j < m/2,
-    which is table[::2^s]; materialized contiguously once here."""
+    return not _core.trace_state_clean()
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables_np(log_n: int, inverse: bool):
     base = _root_table(log_n, inverse)
-    return tuple(
-        jax.device_put(jnp.asarray(np.ascontiguousarray(base[:: 1 << s])))
-        for s in range(log_n)
-    )
+    return tuple(np.ascontiguousarray(base[:: 1 << s]) for s in range(log_n))
+
+
+@functools.lru_cache(maxsize=None)
+def _stage_tables_device(log_n: int, inverse: bool):
+    return tuple(jax.device_put(jnp.asarray(t)) for t in _stage_tables_np(log_n, inverse))
+
+
+def _stage_tables(log_n: int, inverse: bool):
+    """Per-stage contiguous twiddle arrays (stage s of DIF uses w_m^j =
+    table[::2^s], materialized contiguously).  Device-cached when called
+    eagerly; plain constants when called under an active trace."""
+    if _tracing():
+        return tuple(jnp.asarray(t) for t in _stage_tables_np(log_n, inverse))
+    return _stage_tables_device(log_n, inverse)
 
 
 @functools.lru_cache(maxsize=None)
@@ -72,8 +87,14 @@ def bitrev_indices(log_n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
-def _bitrev_device(log_n: int):
+def _bitrev_device_cached(log_n: int):
     return jax.device_put(jnp.asarray(bitrev_indices(log_n)))
+
+
+def _bitrev_device(log_n: int):
+    if _tracing():
+        return jnp.asarray(bitrev_indices(log_n))
+    return _bitrev_device_cached(log_n)
 
 
 @functools.lru_cache(maxsize=None)
@@ -92,10 +113,20 @@ def _shift_powers(log_n: int, shift: int, inverse: bool) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _shift_powers_rev_np(log_n: int, shift: int, inverse: bool) -> np.ndarray:
+    return np.ascontiguousarray(_shift_powers(log_n, shift, inverse)[bitrev_indices(log_n)])
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers_rev_cached(log_n: int, shift: int, inverse: bool):
+    return jax.device_put(jnp.asarray(_shift_powers_rev_np(log_n, shift, inverse)))
+
+
 def _shift_powers_rev_device(log_n: int, shift: int, inverse: bool):
     """shift^rev(j) — for scaling coefficients held in bit-reversed order."""
-    tbl = _shift_powers(log_n, shift, inverse)[bitrev_indices(log_n)]
-    return jax.device_put(jnp.asarray(np.ascontiguousarray(tbl)))
+    if _tracing():
+        return jnp.asarray(_shift_powers_rev_np(log_n, shift, inverse))
+    return _shift_powers_rev_cached(log_n, shift, inverse)
 
 
 @functools.lru_cache(maxsize=None)

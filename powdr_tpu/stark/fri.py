@@ -106,37 +106,50 @@ class FriProof:
 
 
 def prove(
-    codeword: jnp.ndarray,
+    codeword,
     config: StarkConfig,
     challenger: Challenger,
     log_shift_pow: int = 0,
 ) -> FriProof:
-    """Run FRI on `codeword` (evals over coset shift^(2^log_shift_pow) * G_n).
+    """Run FRI on `codeword` — either one (n, 4) array over the coset
+    shift * G_n, or a dict {log_size: (2^log_size, 4)} of codewords that
+    join the fold as sizes match (mixed-height batch).  A size-2^L entry
+    must be evaluated over the squared coset shift^(2^(max_log - L)) * G_L
+    (the domain the fold has reached by then).
 
     The transcript must already have absorbed everything binding the
-    codeword (e.g. the PCS batch commitment roots and claimed evals)."""
-    n = codeword.shape[0]
-    log_n = int(np.log2(n))
+    codewords (e.g. the PCS batch commitment roots and claimed evals)."""
+    if not isinstance(codeword, dict):
+        codeword = {int(np.log2(codeword.shape[0])): codeword}
+    logs = sorted(codeword, reverse=True)
+    log_n = logs[0]
+    n = 1 << log_n
     final_len = 1 << config.log_final_poly_len
     stop_n = final_len * config.blowup
+    assert all((1 << l) > stop_n for l in logs[1:]), "group below FRI floor"
 
     layers: List[Tuple[jnp.ndarray, merkle.MerkleTree]] = []
     roots: List[np.ndarray] = []
-    cw = codeword
+    cw = codeword[log_n]
     shift_pow = log_shift_pow
+    cur_log = log_n
     while cw.shape[0] > stop_n:
+        if cur_log != log_n and cur_log in codeword:
+            from ..field import ext as _ext
+
+            cw = _ext.add(cw, codeword[cur_log])
         tree = merkle.build(p2.hash_rows(_pair_leaves(cw)))
         root = np.asarray(tree.root)
         roots.append(root)
         challenger.observe_digest(root)
         beta = challenger.sample_ext()
         beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
-        cur_log = int(np.log2(cw.shape[0]))
         shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
         inv2x = jnp.asarray(_fold_inv2x_table(cur_log, shift))
         layers.append((cw, tree))
         cw = _fold_codeword(cw, beta_m, inv2x)
         shift_pow += 1
+        cur_log -= 1
 
     # final polynomial: interpolate the remaining codeword and un-shift
     from ..ntt import intt
@@ -197,17 +210,24 @@ def _py_eval_ext_poly(coeffs, x):
 
 def verify(
     proof: FriProof,
-    log_n: int,
+    log_n,
     config: StarkConfig,
     challenger: Challenger,
     log_shift_pow: int = 0,
     open_input=None,
 ):
-    """Verify a FRI proof; returns the list of (query_index, first_layer_pair)
-    so a PCS wrapper can bind query values to its own openings via
-    `open_input(query_index) -> expected (2,4) pair` (or None to skip).
+    """Verify a FRI proof over one codeword (log_n an int) or a
+    mixed-height batch (log_n a list of log sizes, largest first).
+
+    `open_input(pair_index, log_size) -> (2,4) pair or None` supplies the
+    reduced-codeword values the PCS binds at layer entry: for the largest
+    size both sides are checked; at a join layer the pair is added into
+    the running fold value on the queried side.
 
     Raises AssertionError on any inconsistency."""
+    logs = sorted(log_n if isinstance(log_n, (list, tuple, set)) else [log_n], reverse=True)
+    log_n = logs[0]
+    join_logs = set(logs[1:])
     final_len = 1 << config.log_final_poly_len
     n = 1 << log_n
 
@@ -238,14 +258,22 @@ def verify(
             digest = np.asarray(p2.hash_rows(jnp.asarray(leaf_row[None, :])))[0]
             assert merkle.verify_path(root, i, digest, layer.path), f"bad path layer {l}"
             lo, hi = tuple(int(v) for v in layer.pair[0]), tuple(int(v) for v in layer.pair[1])
-            if value is not None:
-                expect = lo if i == idx else hi
-                assert value == expect, f"fold mismatch at layer {l}"
-            elif open_input is not None:
-                pair = open_input(q)
-                if pair is not None:
-                    assert tuple(int(v) for v in pair[0]) == lo, "input lo mismatch"
-                    assert tuple(int(v) for v in pair[1]) == hi, "input hi mismatch"
+            if value is None:
+                if open_input is not None:
+                    pair = open_input(q, cur_log)
+                    if pair is not None:
+                        assert tuple(int(v) for v in pair[0]) == lo, "input lo mismatch"
+                        assert tuple(int(v) for v in pair[1]) == hi, "input hi mismatch"
+            else:
+                expect = value
+                if cur_log in join_logs:
+                    addin = open_input(i, cur_log)
+                    side = addin[0] if i == idx else addin[1]
+                    expect = tuple(
+                        (a + int(s)) % bb.P for a, s in zip(expect, side)
+                    )
+                got = lo if i == idx else hi
+                assert got == expect, f"fold mismatch at layer {l}"
             shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
             w = bb.py_root_of_unity(cur_log)
             x = shift * pow(w, i, bb.P) % bb.P

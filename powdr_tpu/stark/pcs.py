@@ -62,12 +62,18 @@ def py_ext_pow(a: ExtVal, e: int) -> ExtVal:
 
 @dataclass
 class CommittedMatrix:
-    """A committed (n, w) matrix of evaluations over the subgroup H_n."""
+    """A committed (n, w) matrix of evaluations over the subgroup H_n.
+
+    The LDE lives on the coset shift^(2^shift_pow) * K — shift_pow is the
+    matrix's join depth in the mixed-height FRI batch
+    (log_N_max - log_N_this), so its rows can be added into the fold when
+    sizes match."""
 
     evals: jnp.ndarray  # (n, w) Montgomery
-    lde: jnp.ndarray  # (N, w) Montgomery over coset g*K
+    lde: jnp.ndarray  # (N, w) Montgomery over coset shift^(2^sp)*K
     tree: merkle.MerkleTree
     root: np.ndarray  # (8,) Montgomery digest
+    shift_pow: int = 0
 
     @property
     def n(self) -> int:
@@ -78,16 +84,21 @@ class CommittedMatrix:
         return self.evals.shape[1]
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _lde_matrix(evals: jnp.ndarray, log_blowup: int) -> jnp.ndarray:
-    return jnp.swapaxes(coset_lde(jnp.swapaxes(evals, 0, 1), log_blowup), 0, 1)
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _lde_matrix(evals: jnp.ndarray, log_blowup: int, shift: int) -> jnp.ndarray:
+    return jnp.swapaxes(
+        coset_lde(jnp.swapaxes(evals, 0, 1), log_blowup, shift), 0, 1
+    )
 
 
-def commit(evals: jnp.ndarray, config: StarkConfig) -> CommittedMatrix:
+def commit(evals: jnp.ndarray, config: StarkConfig, shift_pow: int = 0) -> CommittedMatrix:
     """Commit to a matrix of column polynomials given by their evals on H."""
-    lde = _lde_matrix(evals, config.log_blowup)
+    shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+    lde = _lde_matrix(evals, config.log_blowup, shift)
     tree = merkle.build(p2.hash_rows(lde))
-    return CommittedMatrix(evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root))
+    return CommittedMatrix(
+        evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root), shift_pow=shift_pow
+    )
 
 
 # -- barycentric evaluation on device ----------------------------------------
@@ -190,12 +201,13 @@ def open_matrices(
     config: StarkConfig,
     challenger: Challenger,
 ) -> PcsOpening:
-    """Open each matrix at its list of extension points, in one FRI."""
-    n = mats[0].n
-    assert all(m.n == n for m in mats), "equal heights required (round-1 scope)"
-    log_n = int(np.log2(n))
-    N = n * config.blowup
-    log_N = log_n + config.log_blowup
+    """Open each matrix at its list of extension points, in one
+    mixed-height FRI batch.  Matrices must have been committed with
+    shift_pow = log_N_max - log_N_own."""
+    log_Ns = [int(np.log2(m.n)) + config.log_blowup for m in mats]
+    log_N_max = max(log_Ns)
+    for m, lN in zip(mats, log_Ns):
+        assert m.shift_pow == log_N_max - lN, "matrix committed with wrong shift"
 
     # claimed evaluations -> transcript
     values: List[List[np.ndarray]] = []
@@ -208,12 +220,14 @@ def open_matrices(
 
     alpha = challenger.sample_ext()
 
-    # reduced codeword
-    xs = jnp.asarray(_coset_points(log_N, config.coset_shift))
-    acc = ext.zero((N,))
+    # reduced codewords per size
+    acc: Dict[int, jnp.ndarray] = {}
     k = 0
-    inv_cache: Dict[ExtVal, jnp.ndarray] = {}
-    for mat, zs, vals in zip(mats, points, values):
+    inv_cache: Dict[Tuple[ExtVal, int], jnp.ndarray] = {}
+    for mat, zs, vals, log_N in zip(mats, points, values, log_Ns):
+        N = 1 << log_N
+        shift = pow(config.coset_shift, 1 << mat.shift_pow, bb.P)
+        xs = jnp.asarray(_coset_points(log_N, shift))
         w = mat.width
         for z, y in zip(zs, vals):
             apows = np.array([py_ext_pow(alpha, k + j) for j in range(w)], dtype=np.uint32)
@@ -225,27 +239,32 @@ def open_matrices(
                 y_comb = py_ext_add(
                     y_comb, ext.py_mul(tuple(int(c) for c in y[j]), tuple(int(c) for c in apows[j]))
                 )
-            if z not in inv_cache:
+            key = (z, log_N)
+            if key not in inv_cache:
                 z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
-                inv_cache[z] = _inv_x_minus_z(xs, z_m)
+                inv_cache[key] = _inv_x_minus_z(xs, z_m)
             y_m = bb.to_mont(jnp.asarray(np.array(y_comb, dtype=np.uint32)))
-            acc = _accumulate_term(acc, folded, y_m, inv_cache[z])
+            acc[log_N] = _accumulate_term(
+                acc.get(log_N, ext.zero((N,))), folded, y_m, inv_cache[key]
+            )
 
     fri_proof = fri_mod.prove(acc, config, challenger)
 
-    # per-query row openings
+    # per-query row openings (per-matrix indices: q mod (N_m / 2))
     host_ldes = [np.asarray(bb.from_mont(m.lde)) for m in mats]
     queries: List[PcsQuery] = []
     for fq in fri_proof.queries:
         q = fq.index
         per_matrix = []
-        for mat, lde in zip(mats, host_ldes):
+        for mat, lde, log_N in zip(mats, host_ldes, log_Ns):
+            half = (1 << log_N) // 2
+            i_m = q % half
             per_matrix.append(
                 PcsMatrixQuery(
-                    row_lo=lde[q].copy(),
-                    row_hi=lde[q + N // 2].copy(),
-                    path_lo=mat.tree.open(q),
-                    path_hi=mat.tree.open(q + N // 2),
+                    row_lo=lde[i_m].copy(),
+                    row_hi=lde[i_m + half].copy(),
+                    path_lo=mat.tree.open(i_m),
+                    path_hi=mat.tree.open(i_m + half),
                 )
             )
         queries.append(PcsQuery(per_matrix=per_matrix))
@@ -257,14 +276,14 @@ def verify_openings(
     roots: Sequence[np.ndarray],
     points: Sequence[Sequence[ExtVal]],
     opening: PcsOpening,
-    log_n: int,
+    log_ns: Sequence[int],
     config: StarkConfig,
     challenger: Challenger,
 ) -> None:
-    """Host-side verification; raises AssertionError on failure."""
-    log_N = log_n + config.log_blowup
-    N = 1 << log_N
-    n = 1 << log_n
+    """Host-side verification of a mixed-height batch opening; raises
+    AssertionError on failure.  log_ns: per-matrix trace log-heights."""
+    log_Ns = [l + config.log_blowup for l in log_ns]
+    log_N_max = max(log_Ns)
 
     for vals, zs in zip(opening.values, points):
         assert len(vals) == len(zs)
@@ -273,7 +292,7 @@ def verify_openings(
                 challenger.observe_ext(tuple(int(c) for c in row))
     alpha = challenger.sample_ext()
 
-    # precompute per-(matrix, point) alpha powers and combined y values
+    # per-(matrix, point) alpha powers and combined y values
     terms = []  # (mat_idx, z, apows list, y_comb)
     k = 0
     for m_idx, (vals, zs) in enumerate(zip(opening.values, points)):
@@ -286,13 +305,15 @@ def verify_openings(
                 y_comb = py_ext_add(y_comb, ext.py_mul(tuple(int(c) for c in y[j]), apows[j]))
             terms.append((m_idx, z, apows, y_comb))
 
-    g_shift = config.coset_shift
-    w_N = bb.py_root_of_unity(log_N)
+    query_state: Dict[int, Dict] = {}  # per active query: verified rows
     query_iter = iter(opening.queries)
+    current: Dict = {}
 
-    def reduced_at(x: int, rows: List[np.ndarray]) -> ExtVal:
+    def reduced_at(x: int, log_N: int, rows: Dict[int, np.ndarray]) -> ExtVal:
         total: ExtVal = (0, 0, 0, 0)
         for m_idx, z, apows, y_comb in terms:
+            if log_Ns[m_idx] != log_N:
+                continue
             row = rows[m_idx]
             s: ExtVal = (0, 0, 0, 0)
             for j, a in enumerate(apows):
@@ -302,20 +323,36 @@ def verify_openings(
             total = py_ext_add(total, ext.py_mul(num, ext.py_inv(d)))
         return total
 
-    def open_input(q: int):
-        pq = next(query_iter)
-        rows_lo, rows_hi = [], []
-        for m_idx, (mq, root) in enumerate(zip(pq.per_matrix, roots)):
-            d_lo = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
-            d_hi = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
-            assert merkle.verify_path(root, q, d_lo, mq.path_lo), "bad row path (lo)"
-            assert merkle.verify_path(root, q + N // 2, d_hi, mq.path_hi), "bad row path (hi)"
-            rows_lo.append(mq.row_lo)
-            rows_hi.append(mq.row_hi)
-        x_lo = g_shift * pow(w_N, q, bb.P) % bb.P
-        x_hi = g_shift * pow(w_N, q + N // 2, bb.P) % bb.P
+    def open_input(pair_idx: int, log_N: int):
+        if log_N == log_N_max:
+            # new query starts: pull the next query's row set and verify
+            # every matrix's paths once
+            current.clear()
+            pq = next(query_iter)
+            q = pair_idx
+            rows_lo: Dict[int, np.ndarray] = {}
+            rows_hi: Dict[int, np.ndarray] = {}
+            for m_idx, (mq, root) in enumerate(zip(pq.per_matrix, roots)):
+                half = (1 << log_Ns[m_idx]) // 2
+                i_m = q % half
+                d_lo = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
+                d_hi = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
+                assert merkle.verify_path(root, i_m, d_lo, mq.path_lo), "bad row path (lo)"
+                assert merkle.verify_path(root, i_m + half, d_hi, mq.path_hi), "bad row path (hi)"
+                rows_lo[m_idx] = mq.row_lo
+                rows_hi[m_idx] = mq.row_hi
+            current["rows_lo"] = rows_lo
+            current["rows_hi"] = rows_hi
+        rows_lo, rows_hi = current["rows_lo"], current["rows_hi"]
+        shift = pow(config.coset_shift, 1 << (log_N_max - log_N), bb.P)
+        w_N = bb.py_root_of_unity(log_N)
+        half = (1 << log_N) // 2
+        i = pair_idx % half
+        x_lo = shift * pow(w_N, i, bb.P) % bb.P
+        x_hi = shift * pow(w_N, i + half, bb.P) % bb.P
         return np.array(
-            [reduced_at(x_lo, rows_lo), reduced_at(x_hi, rows_hi)], dtype=np.uint32
+            [reduced_at(x_lo, log_N, rows_lo), reduced_at(x_hi, log_N, rows_hi)],
+            dtype=np.uint32,
         )
 
-    fri_mod.verify(opening.fri, log_N, config, challenger, open_input=open_input)
+    fri_mod.verify(opening.fri, sorted(set(log_Ns), reverse=True), config, challenger, open_input=open_input)

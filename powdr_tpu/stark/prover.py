@@ -166,13 +166,18 @@ def compute_quotient(
     alpha_q: ExtVal,
     log_n: int,
     config: StarkConfig,
+    shift_pow: int = 0,
 ) -> jnp.ndarray:
     """Folded-constraint quotient, returned as a (n, 4*blowup) matrix of
-    chunk evaluations over H (chunk-major, 4 extension components each)."""
+    chunk evaluations over H (chunk-major, 4 extension components each).
+
+    shift_pow: the chip's join depth in the mixed-height batch — its LDE
+    coset is shift^(2^shift_pow) * K."""
     n = 1 << log_n
     blowup = config.blowup
     N = n * blowup
-    sel = air_mod.lde_selectors(log_n, config.log_blowup, config.coset_shift)
+    chip_shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+    sel = air_mod.lde_selectors(log_n, config.log_blowup, chip_shift)
     ch_m = {
         k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32))) for k, v in challenges.items()
     }
@@ -191,7 +196,7 @@ def compute_quotient(
         apow = py_ext_pow_mul(apow, alpha_q)
 
     # divide by Z_H pointwise: Z_H has `blowup` distinct values on the coset
-    zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, config.coset_shift)["z_h"]
+    zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, chip_shift)["z_h"]
     zh_inv = np.array(
         [pow(int(v), bb.P - 2, bb.P) for v in zh_np[:blowup]], dtype=np.uint32
     )
@@ -207,7 +212,7 @@ def compute_quotient(
 
     comps = jnp.moveaxis(q, -1, 0)  # (4, N)
     coeffs_rev = interpolate_rev(comps)  # (4, N) rev layout
-    sp_rev = _shift_powers_rev_device(log_n + config.log_blowup, config.coset_shift, True)
+    sp_rev = _shift_powers_rev_device(log_n + config.log_blowup, chip_shift, True)
     coeffs_rev = bb.mont_mul(coeffs_rev, sp_rev)
     rev_b = bitrev_indices(config.log_blowup)
     grouped = coeffs_rev.reshape(4, n, blowup)
@@ -232,21 +237,20 @@ def prove(
     config: StarkConfig,
     challenger: Challenger,
 ) -> Proof:
-    n = chips[0][1].shape[0]
-    log_n = int(np.log2(n))
-    assert all(t.shape[0] == n for _, t in chips), "equal heights (round-1 scope)"
-    w_n = bb.py_root_of_unity(log_n)
+    log_ns = [int(np.log2(t.shape[0])) for _, t in chips]
+    log_n_max = max(log_ns)
+    shift_pows = [log_n_max - l for l in log_ns]
 
-    challenger.observe(log_n)
     challenger.observe(len(chips))
-    for a, t in chips:
+    for (a, t), ln in zip(chips, log_ns):
         assert t.shape[1] == a.width
         challenger.observe(a.width)
+        challenger.observe(ln)
 
     # round 1: main commitments
     mains = []
-    for a, t in chips:
-        cm = pcs.commit(t, config)
+    for (a, t), sp in zip(chips, shift_pows):
+        cm = pcs.commit(t, config, shift_pow=sp)
         mains.append(cm)
         challenger.observe_digest(cm.root)
 
@@ -257,11 +261,11 @@ def prove(
     perms: List[Optional[pcs.CommittedMatrix]] = []
     groups_per_chip: List[List[List[int]]] = []
     totals: List[ExtVal] = []
-    for a, t in chips:
+    for (a, t), sp in zip(chips, shift_pows):
         if a.interactions:
             groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
             perm, total = build_perm_trace(a, t, groups, alpha, beta)
-            cm = pcs.commit(perm, config)
+            cm = pcs.commit(perm, config, shift_pow=sp)
             challenger.observe_digest(cm.root)
             challenger.observe_ext(total)
             perms.append(cm)
@@ -276,8 +280,8 @@ def prove(
 
     # round 3: quotients
     quotients = []
-    for (a, t), main_cm, perm_cm, groups, total in zip(
-        chips, mains, perms, groups_per_chip, totals
+    for (a, t), main_cm, perm_cm, groups, total, ln, sp in zip(
+        chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows
     ):
         logup_cons: List[ir.Expr] = []
         challenges: Dict[str, ExtVal] = {}
@@ -291,20 +295,22 @@ def prove(
             perm_cm.lde if perm_cm else None,
             challenges,
             alpha_q,
-            log_n,
+            ln,
             config,
+            shift_pow=sp,
         )
-        cm = pcs.commit(qm, config)
+        cm = pcs.commit(qm, config, shift_pow=sp)
         quotients.append(cm)
         challenger.observe_digest(cm.root)
 
     zeta = challenger.sample_ext()
-    zeta_next = tuple(v * w_n % bb.P for v in zeta)
 
-    # round 4: batch opening
+    # round 4: batch opening (zeta_next differs per chip height)
     matrices = []
     points = []
-    for main_cm, perm_cm, q_cm in zip(mains, perms, quotients):
+    for main_cm, perm_cm, q_cm, ln in zip(mains, perms, quotients, log_ns):
+        w_n = bb.py_root_of_unity(ln)
+        zeta_next = tuple(v * w_n % bb.P for v in zeta)
         matrices.append(main_cm)
         points.append([zeta, zeta_next])
         if perm_cm is not None:
@@ -325,7 +331,7 @@ def prove(
         for m, p, q, tot in zip(mains, perms, quotients, totals)
     ]
     return Proof(
-        log_n=log_n,
+        log_n=log_ns,
         chip_widths=[a.width for a, _ in chips],
         chips=chip_proofs,
         pcs=opening,

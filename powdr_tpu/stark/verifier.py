@@ -41,14 +41,12 @@ def verify(
     config: StarkConfig,
     challenger: Challenger,
 ) -> None:
-    log_n = proof.log_n
-    n = 1 << log_n
-    w_n = bb.py_root_of_unity(log_n)
+    log_ns = proof.log_n if isinstance(proof.log_n, list) else [proof.log_n] * len(airs)
 
-    challenger.observe(log_n)
     challenger.observe(len(airs))
-    for a in airs:
+    for a, ln in zip(airs, log_ns):
         challenger.observe(a.width)
+        challenger.observe(ln)
 
     for cp in proof.chips:
         challenger.observe_digest(cp.main_root)
@@ -75,23 +73,28 @@ def verify(
         challenger.observe_digest(cp.quotient_root)
 
     zeta = challenger.sample_ext()
-    zeta_next = tuple(v * w_n % bb.P for v in zeta)
 
-    # reconstruct the PCS matrix list (roots, widths, points)
+    # reconstruct the PCS matrix list (roots, widths, points, heights)
     roots: List[np.ndarray] = []
     points: List[List[ExtVal]] = []
     widths: List[int] = []
-    for a, cp, groups in zip(airs, proof.chips, groups_per_chip):
+    mat_log_ns: List[int] = []
+    for a, cp, groups, ln in zip(airs, proof.chips, groups_per_chip, log_ns):
+        w_n = bb.py_root_of_unity(ln)
+        zeta_next = tuple(v * w_n % bb.P for v in zeta)
         roots.append(cp.main_root)
         points.append([zeta, zeta_next])
         widths.append(a.width)
+        mat_log_ns.append(ln)
         if a.interactions:
             roots.append(cp.perm_root)
             points.append([zeta, zeta_next])
             widths.append(4 * (len(groups) + 1))
+            mat_log_ns.append(ln)
         roots.append(cp.quotient_root)
         points.append([zeta])
         widths.append(4 * config.blowup)
+        mat_log_ns.append(ln)
 
     assert len(proof.pcs.values) == len(roots), "opening count mismatch"
     for vals, w, zs in zip(proof.pcs.values, widths, points):
@@ -99,13 +102,14 @@ def verify(
         for v in vals:
             assert v.shape == (w, 4), "opened width mismatch"
 
-    pcs.verify_openings(roots, points, proof.pcs, log_n, config, challenger)
+    pcs.verify_openings(roots, points, proof.pcs, mat_log_ns, config, challenger)
 
     # per-chip constraint check at zeta
-    sel = air_mod.selectors_at_point(zeta, log_n)
-    z_h = sel["z_h"]
     m_idx = 0
-    for a, cp, groups in zip(airs, proof.chips, groups_per_chip):
+    for a, cp, groups, ln in zip(airs, proof.chips, groups_per_chip, log_ns):
+        n = 1 << ln
+        sel = air_mod.selectors_at_point(zeta, ln)
+        z_h = sel["z_h"]
         main_vals = proof.pcs.values[m_idx]
         m_idx += 1
         main_at = {}

@@ -47,13 +47,13 @@ def test_fri_binds_input(rng):
     host = np.asarray(bb.from_mont(cw))
     n = 1 << log_n
 
-    def open_input(q):
+    def open_input(q, log_size):
         return np.stack([host[q], host[q + n // 2]])
 
     vch = Challenger()
     fri.verify(proof, log_n, CFG, vch, open_input=open_input)
 
-    def bad_input(q):
+    def bad_input(q, log_size):
         v = np.stack([host[q], host[q + n // 2]]).copy()
         v[0, 0] = (v[0, 0] + 1) % bb.P
         return v

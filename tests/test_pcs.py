@@ -47,7 +47,7 @@ def test_pcs_roundtrip_two_matrices(rng):
     vch = Challenger()
     vch.observe_digest(m1.root)
     vch.observe_digest(m2.root)
-    pcs.verify_openings([m1.root, m2.root], points, opening, 5, CFG, vch)
+    pcs.verify_openings([m1.root, m2.root], points, opening, [5, 5], CFG, vch)
 
 
 def test_pcs_rejects_wrong_value(rng):
@@ -62,7 +62,7 @@ def test_pcs_rejects_wrong_value(rng):
     vch = Challenger()
     vch.observe_digest(m1.root)
     with pytest.raises(AssertionError):
-        pcs.verify_openings([m1.root], points, opening, 5, CFG, vch)
+        pcs.verify_openings([m1.root], points, opening, [5], CFG, vch)
 
 
 def test_pcs_rejects_tampered_row(rng):
@@ -78,4 +78,4 @@ def test_pcs_rejects_tampered_row(rng):
     vch = Challenger()
     vch.observe_digest(m1.root)
     with pytest.raises(AssertionError):
-        pcs.verify_openings([m1.root], points, opening, 5, CFG, vch)
+        pcs.verify_openings([m1.root], points, opening, [5], CFG, vch)

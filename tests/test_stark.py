@@ -102,3 +102,51 @@ def test_logup_bus_imbalance_rejected(rng):
     vch = Challenger()
     with pytest.raises(AssertionError):
         verifier.verify([s[0], r[0]], proof, CFG, vch)
+
+
+def test_mixed_height_logup_roundtrip(rng):
+    """Sender (32 rows) and table (8 rows) at different heights: exercises
+    the mixed-height FRI join path."""
+    n_send, n_table = 32, 8
+    vals = rng.integers(0, n_table, size=n_send)
+    send_air = Air(
+        width=1,
+        constraints=[],
+        interactions=[air_mod.send(7, ir.Const(1), [ir.Col(0)])],
+        name="sender",
+    )
+    counts = np.bincount(vals, minlength=n_table).astype(np.uint32)
+    recv_air = Air(
+        width=2,
+        constraints=[],
+        interactions=[air_mod.receive(7, ir.Col(1), [ir.Col(0)])],
+        name="table",
+    )
+    send_trace = mont(vals.reshape(-1, 1))
+    recv_trace = mont(np.stack([np.arange(n_table, dtype=np.uint32), counts], axis=1))
+    ch = Challenger()
+    proof = prover.prove([(send_air, send_trace), (recv_air, recv_trace)], CFG, ch)
+    vch = Challenger()
+    verifier.verify([send_air, recv_air], proof, CFG, vch)
+
+
+def test_mixed_height_imbalance_rejected(rng):
+    n_send, n_table = 32, 8
+    vals = rng.integers(0, n_table, size=n_send)
+    send_air = Air(
+        width=1, constraints=[],
+        interactions=[air_mod.send(7, ir.Const(1), [ir.Col(0)])], name="sender",
+    )
+    counts = np.bincount(vals, minlength=n_table).astype(np.uint32)
+    counts[0] += 1  # break the balance
+    recv_air = Air(
+        width=2, constraints=[],
+        interactions=[air_mod.receive(7, ir.Col(1), [ir.Col(0)])], name="table",
+    )
+    send_trace = mont(vals.reshape(-1, 1))
+    recv_trace = mont(np.stack([np.arange(n_table, dtype=np.uint32), counts], axis=1))
+    ch = Challenger()
+    proof = prover.prove([(send_air, send_trace), (recv_air, recv_trace)], CFG, ch)
+    vch = Challenger()
+    with pytest.raises(AssertionError):
+        verifier.verify([send_air, recv_air], proof, CFG, vch)
