@@ -81,6 +81,17 @@ class Col(Expr):
 
 
 @dataclass(frozen=True)
+class PreCol(Expr):
+    """Preprocessed (fixed/setup-committed) column reference."""
+
+    index: int
+    rot: int = 0
+
+    def degree(self) -> int:
+        return 1
+
+
+@dataclass(frozen=True)
 class PermCol(Expr):
     """Extension-valued permutation-trace column (4 base columns)."""
 
@@ -198,6 +209,7 @@ class Algebra:
     is_last: Callable[[], Any]
     is_transition: Callable[[], Any]
     var: Callable[[str, int], Any] = None  # (name, id) — APC-space variables
+    pre_col: Callable[[int, int], Any] = None  # preprocessed columns
 
 
 def evaluate(expr: Expr, alg: Algebra, cache: Optional[Dict[int, Any]] = None) -> Any:
@@ -223,6 +235,8 @@ def evaluate(expr: Expr, alg: Algebra, cache: Optional[Dict[int, Any]] = None) -
             val = alg.var(node.name, node.id)
         elif isinstance(node, Col):
             val = alg.col(node.index, node.rot)
+        elif isinstance(node, PreCol):
+            val = alg.pre_col(node.index, node.rot)
         elif isinstance(node, PermCol):
             val = alg.perm_col(node.index, node.rot)
         elif isinstance(node, Challenge):
@@ -272,7 +286,7 @@ def uses_next_row(exprs: Sequence[Expr]) -> bool:
 
     def walk(e: Expr):
         nonlocal found
-        if isinstance(e, (Col, PermCol)) and e.rot != 0:
+        if isinstance(e, (Col, PermCol, PreCol)) and e.rot != 0:
             found = True
         for c in e.children():
             walk(c)

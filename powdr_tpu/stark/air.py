@@ -60,6 +60,12 @@ class Air:
     constraints: List[ir.Expr]
     interactions: List[Interaction] = field(default_factory=list)
     name: str = "air"
+    #: canonical (n, wp) fixed columns committed at setup (vk-bound)
+    preprocessed: Optional["np.ndarray"] = None
+
+    @property
+    def preprocessed_width(self) -> int:
+        return 0 if self.preprocessed is None else self.preprocessed.shape[1]
 
     def max_constraint_degree(self) -> int:
         return max([c.degree() for c in self.constraints], default=0)
@@ -169,6 +175,7 @@ def _mixed_algebra(
     challenges: Dict[str, jnp.ndarray],  # name -> (4,) Montgomery
     selectors: Dict[str, jnp.ndarray],
     publics: Optional[Dict[int, int]] = None,
+    pre_col=None,  # (index, rot) -> (n,) base Montgomery
 ) -> ir.Algebra:
     """Values are ('b', (n,)) or ('e', (n,4)); promotion is lazy."""
 
@@ -217,6 +224,7 @@ def _mixed_algebra(
         neg=neg,
         const=const,
         col=lambda i, r: ("b", main_col(i, r)),
+        pre_col=(lambda i, r: ("b", pre_col(i, r))) if pre_col else None,
         perm_col=lambda i, r: ("e", perm_col(i, r)),
         challenge=challenge,
         public=public,
@@ -307,6 +315,7 @@ def host_algebra(
     challenges: Dict[str, ExtVal],
     selectors: Dict[str, ExtVal],
     publics: Optional[Dict[int, int]] = None,
+    pre_at: Optional[Dict[Tuple[int, int], ExtVal]] = None,
 ) -> ir.Algebra:
     """Scalar extension-field algebra for the verifier's at-zeta check."""
 
@@ -320,6 +329,7 @@ def host_algebra(
         neg=lambda a: tuple((-x) % bb.P for x in a),
         const=c,
         col=lambda i, r: main_at[(i, r)],
+        pre_col=(lambda i, r: pre_at[(i, r)]) if pre_at is not None else None,
         perm_col=lambda i, r: perm_at[(i, r)],
         challenge=lambda name: challenges[name],
         public=lambda i: c(publics[i]),

@@ -42,6 +42,7 @@ class ChipProof:
     perm_root: Optional[np.ndarray]
     quotient_root: np.ndarray
     logup_total: ExtVal
+    pre_root: Optional[np.ndarray] = None
 
 
 @dataclass
@@ -82,6 +83,7 @@ def build_perm_trace(
     groups: List[List[int]],
     alpha: ExtVal,
     beta: ExtVal,
+    pre_trace: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, ExtVal]:
     """Compute [h_0..h_{G-1}, s] as a (n, 4*(G+1)) base matrix plus the
     chip's cumulative LogUp total."""
@@ -93,6 +95,7 @@ def build_perm_trace(
         perm_col=lambda i, r: (_ for _ in ()).throw(ValueError("no perm cols yet")),
         challenges={},
         selectors=sel,
+        pre_col=(lambda i, r: _roll_rows(pre_trace[:, i], r, 1)) if pre_trace is not None else None,
     )
     cache: Dict[int, object] = {}
 
@@ -144,6 +147,7 @@ def _lde_algebra(
     challenges: Dict[str, jnp.ndarray],
     selectors: Dict[str, jnp.ndarray],
     blowup: int,
+    lde_pre: Optional[jnp.ndarray] = None,
 ) -> ir.Algebra:
     def perm_col(i, r):
         block = lde_perm[:, 4 * i : 4 * i + 4]
@@ -154,6 +158,7 @@ def _lde_algebra(
         perm_col=perm_col,
         challenges=challenges,
         selectors=selectors,
+        pre_col=(lambda i, r: _roll_rows(lde_pre[:, i], r, blowup)) if lde_pre is not None else None,
     )
 
 
@@ -167,6 +172,7 @@ def compute_quotient(
     log_n: int,
     config: StarkConfig,
     shift_pow: int = 0,
+    lde_pre: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Folded-constraint quotient, returned as a (n, 4*blowup) matrix of
     chunk evaluations over H (chunk-major, 4 extension components each).
@@ -181,7 +187,7 @@ def compute_quotient(
     ch_m = {
         k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32))) for k, v in challenges.items()
     }
-    alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup)
+    alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup, lde_pre=lde_pre)
     cache: Dict[int, object] = {}
 
     acc = ext.zero((N,))
@@ -247,6 +253,17 @@ def prove(
         challenger.observe(a.width)
         challenger.observe(ln)
 
+    # round 0: preprocessed (vk) commitments
+    pres: List[Optional[pcs.CommittedMatrix]] = []
+    for (a, t), sp in zip(chips, shift_pows):
+        if a.preprocessed is not None:
+            pm = bb.to_mont(jnp.asarray(a.preprocessed.astype(np.uint32)))
+            cm = pcs.commit(pm, config, shift_pow=sp)
+            pres.append(cm)
+            challenger.observe_digest(cm.root)
+        else:
+            pres.append(None)
+
     # round 1: main commitments
     mains = []
     for (a, t), sp in zip(chips, shift_pows):
@@ -261,10 +278,13 @@ def prove(
     perms: List[Optional[pcs.CommittedMatrix]] = []
     groups_per_chip: List[List[List[int]]] = []
     totals: List[ExtVal] = []
-    for (a, t), sp in zip(chips, shift_pows):
+    for (a, t), sp, pre_cm in zip(chips, shift_pows, pres):
         if a.interactions:
             groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
-            perm, total = build_perm_trace(a, t, groups, alpha, beta)
+            perm, total = build_perm_trace(
+                a, t, groups, alpha, beta,
+                pre_trace=pre_cm.evals if pre_cm is not None else None,
+            )
             cm = pcs.commit(perm, config, shift_pow=sp)
             challenger.observe_digest(cm.root)
             challenger.observe_ext(total)
@@ -280,8 +300,8 @@ def prove(
 
     # round 3: quotients
     quotients = []
-    for (a, t), main_cm, perm_cm, groups, total, ln, sp in zip(
-        chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows
+    for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm in zip(
+        chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows, pres
     ):
         logup_cons: List[ir.Expr] = []
         challenges: Dict[str, ExtVal] = {}
@@ -298,6 +318,7 @@ def prove(
             ln,
             config,
             shift_pow=sp,
+            lde_pre=pre_cm.lde if pre_cm is not None else None,
         )
         cm = pcs.commit(qm, config, shift_pow=sp)
         quotients.append(cm)
@@ -308,9 +329,12 @@ def prove(
     # round 4: batch opening (zeta_next differs per chip height)
     matrices = []
     points = []
-    for main_cm, perm_cm, q_cm, ln in zip(mains, perms, quotients, log_ns):
+    for main_cm, perm_cm, q_cm, ln, pre_cm in zip(mains, perms, quotients, log_ns, pres):
         w_n = bb.py_root_of_unity(ln)
         zeta_next = tuple(v * w_n % bb.P for v in zeta)
+        if pre_cm is not None:
+            matrices.append(pre_cm)
+            points.append([zeta, zeta_next])
         matrices.append(main_cm)
         points.append([zeta, zeta_next])
         if perm_cm is not None:
@@ -327,8 +351,9 @@ def prove(
             perm_root=p.root if p else None,
             quotient_root=q.root,
             logup_total=tot,
+            pre_root=pre.root if pre else None,
         )
-        for m, p, q, tot in zip(mains, perms, quotients, totals)
+        for m, p, q, tot, pre in zip(mains, perms, quotients, totals, pres)
     ]
     return Proof(
         log_n=log_ns,

@@ -40,13 +40,30 @@ def verify(
     proof: Proof,
     config: StarkConfig,
     challenger: Challenger,
+    vk: Optional[Sequence[Optional[np.ndarray]]] = None,
 ) -> None:
+    """vk: per-chip preprocessed commitment roots (from keys.setup).  If
+    None, roots are recomputed from air.preprocessed (honest-setup mode)."""
     log_ns = proof.log_n if isinstance(proof.log_n, list) else [proof.log_n] * len(airs)
+    log_n_max = max(log_ns)
 
     challenger.observe(len(airs))
     for a, ln in zip(airs, log_ns):
         challenger.observe(a.width)
         challenger.observe(ln)
+
+    if vk is None:
+        from .keys import setup
+
+        vk = setup(airs, log_ns, config).pre_roots
+    for a, cp, root in zip(airs, proof.chips, vk):
+        if a.preprocessed is not None:
+            assert root is not None and (np.asarray(cp.pre_root) == np.asarray(root)).all(), (
+                f"preprocessed commitment mismatch for chip '{a.name}'"
+            )
+            challenger.observe_digest(cp.pre_root)
+        else:
+            assert cp.pre_root is None
 
     for cp in proof.chips:
         challenger.observe_digest(cp.main_root)
@@ -82,6 +99,11 @@ def verify(
     for a, cp, groups, ln in zip(airs, proof.chips, groups_per_chip, log_ns):
         w_n = bb.py_root_of_unity(ln)
         zeta_next = tuple(v * w_n % bb.P for v in zeta)
+        if a.preprocessed is not None:
+            roots.append(cp.pre_root)
+            points.append([zeta, zeta_next])
+            widths.append(a.preprocessed_width)
+            mat_log_ns.append(ln)
         roots.append(cp.main_root)
         points.append([zeta, zeta_next])
         widths.append(a.width)
@@ -110,6 +132,14 @@ def verify(
         n = 1 << ln
         sel = air_mod.selectors_at_point(zeta, ln)
         z_h = sel["z_h"]
+        pre_at = None
+        if a.preprocessed is not None:
+            pre_vals = proof.pcs.values[m_idx]
+            m_idx += 1
+            pre_at = {}
+            for i in range(a.preprocessed_width):
+                pre_at[(i, 0)] = tuple(int(v) for v in pre_vals[0][i])
+                pre_at[(i, 1)] = tuple(int(v) for v in pre_vals[1][i])
         main_vals = proof.pcs.values[m_idx]
         m_idx += 1
         main_at = {}
@@ -135,7 +165,7 @@ def verify(
         q_vals = proof.pcs.values[m_idx]
         m_idx += 1
 
-        alg = air_mod.host_algebra(main_at, perm_at, challenges, sel)
+        alg = air_mod.host_algebra(main_at, perm_at, challenges, sel, pre_at=pre_at)
         cache: Dict[int, object] = {}
         acc: ExtVal = (0, 0, 0, 0)
         apow: ExtVal = (1, 0, 0, 0)

@@ -244,6 +244,8 @@ def build_chips_with_apcs(
                 elif bus_id == POW2_BUS:
                     pow2_counts[vals[0]] = (pow2_counts.get(vals[0], 0) + m) % P
     chips.append(system_mod.range_checker_chip(range_counts))
-    chips.append(system_mod.bitwise_chip(bitwise_counts))
-    chips.append(system_mod.pow2_chip(pow2_counts))
+    if bitwise_counts:
+        chips.append(system_mod.bitwise_chip(bitwise_counts))
+    if pow2_counts:
+        chips.append(system_mod.pow2_chip(pow2_counts))
     return chips

@@ -126,9 +126,19 @@ def _word(bs: List[ir.Var]) -> ir.Expr:
     return out
 
 
+USE_BITWISE_FOR_BYTE_RANGE = True  # False: route byte checks over the
+# range-checker bus instead (2 sends) — lets byte-op-free programs prove
+# without the 2^17-row bitwise table (CI-sized proofs)
+
+
 def _byte_range_pair(b: MachineBuilder, g: ir.Expr, x: ir.Expr, y: ir.Expr):
-    """Range-check two bytes with one BitwiseLookup op=0 interaction."""
-    b.send(BITWISE_BUS, g, [x, y, ir.Const(0), ir.Const(0)])
+    """Range-check two bytes (one BitwiseLookup op=0 interaction, or two
+    range-checker sends when the bitwise table is disabled)."""
+    if USE_BITWISE_FOR_BYTE_RANGE:
+        b.send(BITWISE_BUS, g, [x, y, ir.Const(0), ir.Const(0)])
+    else:
+        b.send(RANGE_BUS, g, [x, ir.Const(8)])
+        b.send(RANGE_BUS, g, [y, ir.Const(8)])
 
 
 def _bool(b: MachineBuilder, v: ir.Var):

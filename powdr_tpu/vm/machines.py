@@ -626,3 +626,9 @@ def registry() -> Dict[str, Tuple[MachineBuilder, Callable]]:
     if _REGISTRY is None:
         _REGISTRY = _build_all()
     return _REGISTRY
+
+
+def rebuild_registry() -> None:
+    """Clear the cache (after flipping isa build flags in tests)."""
+    global _REGISTRY
+    _REGISTRY = None

@@ -1,0 +1,86 @@
+"""Compile VM chips to STARK AIRs and prove/verify the whole system.
+
+The compile step is SURVEY.md §7's "AIR -> XLA compiler": each chip's
+SymbolicMachine (named Vars) is lowered to an Air over dense column
+indices (Col/PreCol); traces become Montgomery matrices.  Proving then
+runs the generic multi-chip STARK (powdr_tpu.stark)."""
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..field import babybear as bb
+from ..ir import expression as ir
+from ..stark import prover as stark_prover
+from ..stark import verifier as stark_verifier
+from ..stark.air import Air, Interaction
+from ..stark.challenger import Challenger
+from ..stark.config import StarkConfig
+from .system import Chip
+
+P = 2013265921
+
+
+def compile_chip(chip: Chip) -> Tuple[Air, jnp.ndarray]:
+    """Lower a Chip to (Air, main trace in Montgomery form)."""
+    main_names = [c for c in chip.cols if c not in chip.preprocessed]
+    pre_names = [c for c in chip.cols if c in chip.preprocessed]
+    main_idx = {c: i for i, c in enumerate(main_names)}
+    pre_idx = {c: i for i, c in enumerate(pre_names)}
+
+    def remap(e: ir.Expr) -> ir.Expr:
+        if isinstance(e, ir.Var):
+            if e.name in main_idx:
+                return ir.Col(main_idx[e.name])
+            return ir.PreCol(pre_idx[e.name])
+        if isinstance(e, ir.Const):
+            return e
+        if isinstance(e, ir.Add):
+            return ir.Add(remap(e.lhs), remap(e.rhs))
+        if isinstance(e, ir.Sub):
+            return ir.Sub(remap(e.lhs), remap(e.rhs))
+        if isinstance(e, ir.Mul):
+            return ir.Mul(remap(e.lhs), remap(e.rhs))
+        if isinstance(e, ir.Neg):
+            return ir.Neg(remap(e.operand))
+        raise TypeError(type(e))
+
+    constraints = [remap(c) for c in chip.machine.constraints]
+    interactions = [
+        Interaction(bus_id=b.id, mult=remap(b.mult), args=[remap(a) for a in b.args])
+        for b in chip.machine.bus_interactions
+    ]
+    n = chip.height
+    main = np.stack([np.asarray(chip.trace[c], dtype=np.uint32) for c in main_names], axis=1)
+    pre = (
+        np.stack([np.asarray(chip.trace[c], dtype=np.uint32) for c in pre_names], axis=1)
+        if pre_names
+        else None
+    )
+    air = Air(
+        width=len(main_names),
+        constraints=constraints,
+        interactions=interactions,
+        name=chip.name,
+        preprocessed=pre,
+    )
+    trace = bb.to_mont(jnp.asarray(main))
+    return air, trace
+
+
+def prove_chips(
+    chips: List[Chip], config: StarkConfig
+) -> Tuple[List[Air], stark_prover.Proof]:
+    compiled = [compile_chip(c) for c in chips]
+    ch = Challenger()
+    proof = stark_prover.prove(compiled, config, ch)
+    return [a for a, _ in compiled], proof
+
+
+def verify_chips(
+    airs: List[Air], proof: stark_prover.Proof, config: StarkConfig, vk=None
+) -> None:
+    ch = Challenger()
+    stark_verifier.verify(airs, proof, config, ch, vk=vk)

@@ -48,7 +48,9 @@ class Chip:
         return len(next(iter(self.trace.values()))) if self.trace else 0
 
 
-def _pad_pow2(trace: Dict[str, np.ndarray], min_height: int = 1) -> Dict[str, np.ndarray]:
+def _pad_pow2(trace: Dict[str, np.ndarray], min_height: int = 2) -> Dict[str, np.ndarray]:
+    # min height 2: a height-1 chip's LDE would sit at the FRI's final-poly
+    # floor and could not join the batched fold
     n = max((len(v) for v in trace.values()), default=0)
     n = max(n, min_height, 1)
     pow2 = 1 << (n - 1).bit_length()
@@ -311,6 +313,8 @@ def build_chips(program: List[Instruction], result: ExecutionResult) -> List[Chi
                 elif bus_id == POW2_BUS:
                     pow2_counts[vals[0]] = pow2_counts.get(vals[0], 0) + m
     chips.append(range_checker_chip(range_counts))
-    chips.append(bitwise_chip(bitwise_counts))
-    chips.append(pow2_chip(pow2_counts))
+    if bitwise_counts:
+        chips.append(bitwise_chip(bitwise_counts))
+    if pow2_counts:
+        chips.append(pow2_chip(pow2_counts))
     return chips

@@ -70,3 +70,58 @@ def test_guest_sha256_mock_check():
     prog, mem, check = sha256_guest()
     res = Executor(prog, mem).run()
     mock_check(build_chips(prog, res))
+
+
+@pytest.fixture
+def small_tables():
+    """Shrink range tables + route byte checks over the range bus so the
+    proving tests stay CI-sized; restores the build flags afterwards."""
+    from powdr_tpu.vm import isa, machines, system
+
+    saved = (isa.USE_BITWISE_FOR_BYTE_RANGE, isa.DT_BITS, system.MAX_RANGE_BITS)
+    isa.USE_BITWISE_FOR_BYTE_RANGE = False
+    isa.DT_BITS = 10
+    system.MAX_RANGE_BITS = 10
+    machines.rebuild_registry()
+    yield
+    isa.USE_BITWISE_FOR_BYTE_RANGE, isa.DT_BITS, system.MAX_RANGE_BITS = saved
+    machines.rebuild_registry()
+
+
+@pytest.mark.slow
+def test_full_vm_stark_proof(small_tables):
+    """Real STARK proof of a complete VM execution (the reference's
+    prove_simple analog, openvm-riscv/src/lib.rs:259)."""
+    from powdr_tpu.vm.prove import prove_chips, verify_chips
+    from powdr_tpu.stark.config import StarkConfig
+
+    prog = _loop_program()
+    res = Executor(prog).run()
+    chips = build_chips(prog, res)
+    mock_check(chips)
+    cfg = StarkConfig(log_blowup=2, num_queries=8, proof_of_work_bits=2)
+    airs, proof = prove_chips(chips, cfg)
+    verify_chips(airs, proof, cfg)
+
+
+@pytest.mark.slow
+def test_full_vm_stark_proof_with_apc(small_tables):
+    """STARK proof with the hot block replaced by an autoprecompile —
+    the reference's flagship flow (guest + APC -> proof)."""
+    from powdr_tpu.vm.apc import build_apc, build_chips_with_apcs
+    from powdr_tpu.vm.blocks import detect_basic_blocks, pc_profile, block_execution_count
+    from powdr_tpu.vm.prove import prove_chips, verify_chips
+    from powdr_tpu.stark.config import StarkConfig
+
+    prog = _loop_program()
+    res = Executor(prog).run()
+    blocks = detect_basic_blocks(prog)
+    prof = pc_profile(res.pc_trace)
+    hot = max(blocks, key=lambda b: block_execution_count(b, prof) * len(b))
+    apc = build_apc(hot)
+    assert apc.report.after["columns"] < apc.report.before["columns"]
+    chips = build_chips_with_apcs(prog, res, [apc])
+    mock_check(chips)
+    cfg = StarkConfig(log_blowup=2, num_queries=8, proof_of_work_bits=2)
+    airs, proof = prove_chips(chips, cfg)
+    verify_chips(airs, proof, cfg)
