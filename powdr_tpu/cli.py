@@ -1,0 +1,207 @@
+"""Staged command-line pipeline with content-addressed artifact caching.
+
+Counterpart of the reference's cli-openvm-riscv (README.md:1-41,
+src/main.rs:31-130): subcommands `execute -> select-apcs -> prove` where
+each stage persists its artifact under
+<artifacts-dir>/<stage>/<hash>/artifact.pkl keyed by the stage's
+arguments + the program identity, so later-stage flag changes don't
+invalidate earlier stages.
+
+    python -m powdr_tpu.cli execute --guest sha256
+    python -m powdr_tpu.cli select-apcs --guest sha256 --apcs 2
+    python -m powdr_tpu.cli prove --guest loop --mode mock --apcs 1
+    python -m powdr_tpu.cli prove --guest loop --mode stark --small-tables
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import json
+import os
+import pickle
+import sys
+import time
+from typing import Optional
+
+
+def _guest(name: str):
+    from .vm import guests
+    from .vm.executor import assemble
+
+    if name == "loop":
+        prog = assemble([
+            ("addi", 1, 0, 0, 50),
+            ("addi", 2, 0, 0, 0),
+            ("addi", 3, 0, 0, 0),
+            "loop:",
+            ("add", 2, 2, 1),
+            ("addi", 3, 3, 0, 1),
+            ("bne", 0, 3, 1, "loop"),
+            ("sw", 0, 0, 2, 256),
+            ("halt",),
+        ])
+        return prog, {}, lambda res: None
+    fn = {
+        "sha256": guests.sha256_guest,
+        "matmul": guests.matmul_guest,
+        "u256_add": guests.u256_add_guest,
+    }[name]
+    return fn()
+
+
+def _program_hash(program) -> str:
+    h = hashlib.sha256()
+    for ins in program:
+        h.update(repr((ins.op, ins.rd, ins.rs1, ins.rs2, ins.imm)).encode())
+    return h.hexdigest()[:16]
+
+
+class ArtifactCache:
+    def __init__(self, root: str):
+        self.root = root
+
+    def key(self, stage: str, **kwargs) -> str:
+        blob = json.dumps(kwargs, sort_keys=True, default=str).encode()
+        return hashlib.sha256(blob).hexdigest()[:16]
+
+    def path(self, stage: str, key: str) -> str:
+        return os.path.join(self.root, stage, key, "artifact.pkl")
+
+    def load(self, stage: str, key: str):
+        p = self.path(stage, key)
+        if os.path.exists(p):
+            with open(p, "rb") as f:
+                return pickle.load(f)
+        return None
+
+    def store(self, stage: str, key: str, value) -> None:
+        p = self.path(stage, key)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        with open(p, "wb") as f:
+            pickle.dump(value, f)
+
+
+def stage_execute(args, cache: ArtifactCache):
+    from .vm.executor import Executor
+
+    program, mem, check = _guest(args.guest)
+    key = cache.key("execute", guest=args.guest, program=_program_hash(program))
+    result = cache.load("execute", key)
+    if result is None or args.no_cache:
+        t0 = time.time()
+        result = Executor(program, mem).run()
+        print(f"executed {result.instret} instructions in {time.time()-t0:.2f}s")
+        cache.store("execute", key, result)
+    else:
+        print(f"execute: cache hit ({result.instret} instructions)")
+    if check:
+        check(result)
+    return program, result
+
+
+def stage_select_apcs(args, cache: ArtifactCache, program, result):
+    from .vm.pgo import generate_candidates, select_apcs
+
+    key = cache.key(
+        "select-apcs", guest=args.guest, program=_program_hash(program), apcs=args.apcs
+    )
+    apcs = cache.load("select-apcs", key)
+    if apcs is None or args.no_cache:
+        t0 = time.time()
+        cands = generate_candidates(program, result)
+        apcs = select_apcs(cands, max_apcs=args.apcs)
+        for c in cands[: args.apcs]:
+            r = c.apc.report
+            print(
+                f"  apc {c.apc.name}: {c.execution_count} execs, "
+                f"{r.before['columns']}->{r.after['columns']} cols, "
+                f"{r.before['bus_interactions']}->{r.after['bus_interactions']} interactions, "
+                f"saves {c.cells_saved} cells"
+            )
+        print(f"selected {len(apcs)} APCs in {time.time()-t0:.2f}s")
+        cache.store("select-apcs", key, apcs)
+    else:
+        print(f"select-apcs: cache hit ({len(apcs)} APCs)")
+    return apcs
+
+
+def stage_prove(args, program, result, apcs):
+    from .utils.metrics import GLOBAL as metrics
+    from .vm.apc import build_chips_with_apcs
+    from .vm.system import build_chips, mock_check
+
+    t0 = time.time()
+    with metrics.timer("trace_gen_time_ms"):
+        if apcs:
+            chips = build_chips_with_apcs(program, result, apcs)
+        else:
+            chips = build_chips(program, result)
+    print(
+        "chips:",
+        ", ".join(f"{c.name}(h={c.height},w={len(c.cols)})" for c in chips),
+    )
+    if args.mode == "mock":
+        with metrics.timer("total_proof_time_ms"):
+            mock_check(chips)
+        print("mock check passed")
+    else:
+        from .stark.config import StarkConfig
+        from .vm.prove import prove_chips, verify_chips
+
+        cfg = StarkConfig(
+            log_blowup=2,
+            num_queries=args.queries,
+            proof_of_work_bits=args.pow_bits,
+        )
+        with metrics.timer("total_proof_time_ms"):
+            airs, proof = prove_chips(chips, cfg)
+        with metrics.timer("verify_time_ms"):
+            verify_chips(airs, proof, cfg)
+        print("STARK proof verified")
+    metrics.gauge("instret", result.instret)
+    metrics.gauge("num_apcs", len(apcs))
+    if args.metrics_json:
+        metrics.write(args.metrics_json)
+        print(f"metrics written to {args.metrics_json}")
+    print(f"prove stage: {time.time()-t0:.2f}s")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="powdr_tpu", description=__doc__)
+    ap.add_argument("command", choices=["execute", "select-apcs", "prove"])
+    ap.add_argument("--guest", default="loop")
+    ap.add_argument("--apcs", type=int, default=0)
+    ap.add_argument("--mode", choices=["mock", "stark"], default="mock")
+    ap.add_argument("--queries", type=int, default=20)
+    ap.add_argument("--pow-bits", type=int, default=4)
+    ap.add_argument("--artifacts-dir", default=".powdr_artifacts")
+    ap.add_argument("--metrics-json", default=None)
+    ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument(
+        "--small-tables",
+        action="store_true",
+        help="shrink periphery tables (CI-sized proving; see vm.isa)",
+    )
+    args = ap.parse_args(argv)
+
+    if args.small_tables:
+        from .vm import isa, machines, system
+
+        isa.USE_BITWISE_FOR_BYTE_RANGE = False
+        isa.DT_BITS = 10
+        system.MAX_RANGE_BITS = 10
+        machines.rebuild_registry()
+
+    cache = ArtifactCache(args.artifacts_dir)
+    program, result = stage_execute(args, cache)
+    if args.command == "execute":
+        return 0
+    apcs = stage_select_apcs(args, cache, program, result) if args.apcs else []
+    if args.command == "select-apcs":
+        return 0
+    stage_prove(args, program, result, apcs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

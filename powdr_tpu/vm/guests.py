@@ -15,6 +15,7 @@ from .isa import Instruction
 SHA_IN = 0x100  # 64-byte input block
 SHA_W = 0x200  # message schedule (64 words)
 SHA_OUT = 0x300  # 8-word digest
+SHA_K = 0x600  # round-constant table
 
 _K = [
     0x428A2F98, 0x71374491, 0xB5C0FBCF, 0xE9B5DBA5, 0x3956C25B, 0x59F111F1,
@@ -47,70 +48,86 @@ def sha256_guest() -> Tuple[List[Instruction], Dict[int, int], Callable]:
     words = struct.unpack(">16I", padded)
     mem = {SHA_IN + 4 * i: w for i, w in enumerate(words)}
 
+    # K constants live in memory so the round loop can walk them
+    for i, k in enumerate(_K):
+        mem[SHA_K + 4 * i] = k
+
     L: List = []
-    # copy input into schedule
-    for i in range(16):
-        L.append(("lw", 3, 0, 0, SHA_IN + 4 * i))
-        L.append(("sw", 0, 0, 3, SHA_W + 4 * i))
-    # extend
-    for i in range(16, 64):
-        L.append(("lw", 3, 0, 0, SHA_W + 4 * (i - 15)))
-        _ror(L, 4, 3, 7)
-        _ror(L, 5, 3, 18)
-        L.append(("srli", 6, 3, 0, 3))
-        L.append(("xor", 4, 4, 5))
-        L.append(("xor", 4, 4, 6))  # s0
-        L.append(("lw", 3, 0, 0, SHA_W + 4 * (i - 2)))
-        _ror(L, 5, 3, 17)
-        _ror(L, 6, 3, 19)
-        L.append(("srli", 7, 3, 0, 10))
-        L.append(("xor", 5, 5, 6))
-        L.append(("xor", 5, 5, 7))  # s1
-        L.append(("lw", 3, 0, 0, SHA_W + 4 * (i - 16)))
-        L.append(("add", 3, 3, 4))
-        L.append(("lw", 6, 0, 0, SHA_W + 4 * (i - 7)))
-        L.append(("add", 3, 3, 6))
-        L.append(("add", 3, 3, 5))
-        L.append(("sw", 0, 0, 3, SHA_W + 4 * i))
+    # copy input into schedule (loop: x19 walks SHA_IN, x18 = end)
+    L.append(("lui", 19, 0, 0, SHA_IN))
+    L.append(("lui", 18, 0, 0, SHA_IN + 64))
+    L.append("copy:")
+    L.append(("lw", 3, 19, 0, 0))
+    L.append(("sw", 0, 19, 3, SHA_W - SHA_IN))
+    L.append(("addi", 19, 19, 0, 4))
+    L.append(("bne", 0, 19, 18, "copy"))
+    # extend w[16..64] (x19 walks SHA_W+64 .. SHA_W+256)
+    L.append(("lui", 19, 0, 0, SHA_W + 64))
+    L.append(("lui", 18, 0, 0, SHA_W + 256))
+    L.append("extend:")
+    L.append(("lw", 3, 19, 0, -60))  # w[i-15]
+    _ror(L, 4, 3, 7)
+    _ror(L, 5, 3, 18)
+    L.append(("srli", 6, 3, 0, 3))
+    L.append(("xor", 4, 4, 5))
+    L.append(("xor", 4, 4, 6))  # s0
+    L.append(("lw", 3, 19, 0, -8))  # w[i-2]
+    _ror(L, 5, 3, 17)
+    _ror(L, 6, 3, 19)
+    L.append(("srli", 7, 3, 0, 10))
+    L.append(("xor", 5, 5, 6))
+    L.append(("xor", 5, 5, 7))  # s1
+    L.append(("lw", 3, 19, 0, -64))  # w[i-16]
+    L.append(("add", 3, 3, 4))
+    L.append(("lw", 6, 19, 0, -28))  # w[i-7]
+    L.append(("add", 3, 3, 6))
+    L.append(("add", 3, 3, 5))
+    L.append(("sw", 0, 19, 3, 0))
+    L.append(("addi", 19, 19, 0, 4))
+    L.append(("bne", 0, 19, 18, "extend"))
     # init state a..h = x8..x15
     for j, h in enumerate(_H0):
         L.append(("lui", 8 + j, 0, 0, h))
-    # rounds
-    for i in range(64):
-        e = 12
-        _ror(L, 1, e, 6, t1=2)
-        _ror(L, 3, e, 11, t1=2)
-        L.append(("xor", 1, 1, 3))
-        _ror(L, 3, e, 25, t1=2)
-        L.append(("xor", 1, 1, 3))  # S1 -> x1
-        L.append(("xor", 2, 13, 14))
-        L.append(("and", 2, 12, 2))
-        L.append(("xor", 2, 2, 14))  # ch -> x2
-        L.append(("add", 1, 1, 2))
-        L.append(("add", 1, 1, 15))  # + h
-        L.append(("lui", 2, 0, 0, _K[i]))
-        L.append(("add", 1, 1, 2))
-        L.append(("lw", 2, 0, 0, SHA_W + 4 * i))
-        L.append(("add", 1, 1, 2))  # temp1 -> x1
-        a = 8
-        _ror(L, 2, a, 2, t1=3)
-        _ror(L, 4, a, 13, t1=3)
-        L.append(("xor", 2, 2, 4))
-        _ror(L, 4, a, 22, t1=3)
-        L.append(("xor", 2, 2, 4))  # S0 -> x2
-        L.append(("and", 3, 9, 10))
-        L.append(("or", 4, 9, 10))
-        L.append(("and", 4, 8, 4))
-        L.append(("or", 3, 3, 4))  # maj -> x3
-        L.append(("add", 2, 2, 3))  # temp2 -> x2
-        L.append(("addi", 15, 14, 0, 0))  # h = g
-        L.append(("addi", 14, 13, 0, 0))  # g = f
-        L.append(("addi", 13, 12, 0, 0))  # f = e
-        L.append(("add", 12, 11, 1))  # e = d + t1
-        L.append(("addi", 11, 10, 0, 0))  # d = c
-        L.append(("addi", 10, 9, 0, 0))  # c = b
-        L.append(("addi", 9, 8, 0, 0))  # b = a
-        L.append(("add", 8, 1, 2))  # a = t1 + t2
+    # rounds (x19 walks SHA_K, w at fixed offset SHA_W - SHA_K from it)
+    L.append(("lui", 19, 0, 0, SHA_K))
+    L.append(("lui", 18, 0, 0, SHA_K + 256))
+    L.append("rounds:")
+    e = 12
+    _ror(L, 1, e, 6, t1=2)
+    _ror(L, 3, e, 11, t1=2)
+    L.append(("xor", 1, 1, 3))
+    _ror(L, 3, e, 25, t1=2)
+    L.append(("xor", 1, 1, 3))  # S1 -> x1
+    L.append(("xor", 2, 13, 14))
+    L.append(("and", 2, 12, 2))
+    L.append(("xor", 2, 2, 14))  # ch -> x2
+    L.append(("add", 1, 1, 2))
+    L.append(("add", 1, 1, 15))  # + h
+    L.append(("lw", 2, 19, 0, 0))  # K[i]
+    L.append(("add", 1, 1, 2))
+    L.append(("lw", 2, 19, 0, SHA_W - SHA_K))  # w[i]
+    L.append(("add", 1, 1, 2))  # temp1 -> x1
+    a = 8
+    _ror(L, 2, a, 2, t1=3)
+    _ror(L, 4, a, 13, t1=3)
+    L.append(("xor", 2, 2, 4))
+    _ror(L, 4, a, 22, t1=3)
+    L.append(("xor", 2, 2, 4))  # S0 -> x2
+    L.append(("and", 3, 9, 10))
+    L.append(("or", 4, 9, 10))
+    L.append(("and", 4, 8, 4))
+    L.append(("or", 3, 3, 4))  # maj -> x3
+    L.append(("add", 2, 2, 3))  # temp2 -> x2
+    L.append(("addi", 15, 14, 0, 0))  # h = g
+    L.append(("addi", 14, 13, 0, 0))  # g = f
+    L.append(("addi", 13, 12, 0, 0))  # f = e
+    L.append(("add", 12, 11, 1))  # e = d + t1
+    L.append(("addi", 11, 10, 0, 0))  # d = c
+    L.append(("addi", 10, 9, 0, 0))  # c = b
+    L.append(("addi", 9, 8, 0, 0))  # b = a
+    L.append(("add", 8, 1, 2))  # a = t1 + t2
+    L.append(("addi", 19, 19, 0, 4))
+    L.append(("bne", 0, 19, 18, "rounds"))
     # output digest
     for j, h in enumerate(_H0):
         L.append(("lui", 1, 0, 0, h))

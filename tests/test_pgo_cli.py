@@ -1,0 +1,73 @@
+"""PGO candidate generation/selection and the staged CLI pipeline."""
+import json
+import os
+
+import pytest
+
+from powdr_tpu.vm.executor import Executor
+from powdr_tpu.vm.guests import sha256_guest
+from powdr_tpu.vm.pgo import generate_candidates, select_apcs
+from powdr_tpu.vm.system import mock_check
+from powdr_tpu.vm.apc import build_chips_with_apcs
+
+
+@pytest.fixture(scope="module")
+def sha_run():
+    prog, mem, check = sha256_guest()
+    res = Executor(prog, mem).run()
+    check(res)
+    return prog, res
+
+
+def test_pgo_candidates(sha_run):
+    prog, res = sha_run
+    cands = generate_candidates(prog, res)
+    assert len(cands) >= 3
+    # the 64x round loop must rank first
+    assert cands[0].execution_count == 64
+    assert cands[0].cells_saved > cands[1].cells_saved
+    # the optimizer must shrink every selected block
+    for c in cands:
+        assert c.apc.report.after["columns"] < c.apc.report.before["columns"]
+
+
+def test_pgo_selection_budget(sha_run):
+    prog, res = sha_run
+    cands = generate_candidates(prog, res)
+    sel = select_apcs(cands, max_apcs=2)
+    assert len(sel) == 2
+    sel_cols = select_apcs(cands, max_total_columns=cands[0].width + 1)
+    assert len(sel_cols) >= 1
+    assert sum(c.report.after["columns"] for c in sel_cols) <= cands[0].width + 1
+
+
+def test_sha256_with_apcs_mock(sha_run):
+    prog, res = sha_run
+    cands = generate_candidates(prog, res)
+    apcs = select_apcs(cands, max_apcs=2)
+    chips = build_chips_with_apcs(prog, res, apcs)
+    names = {c.name for c in chips}
+    assert any(n.startswith("apc_") for n in names)
+    assert "xor" not in names  # every xor lives inside an APC now
+    mock_check(chips)
+
+
+def test_cli_pipeline(tmp_path):
+    from powdr_tpu import cli
+
+    metrics = tmp_path / "metrics.json"
+    rc = cli.main([
+        "prove", "--guest", "loop", "--apcs", "1", "--mode", "mock",
+        "--artifacts-dir", str(tmp_path / "artifacts"),
+        "--metrics-json", str(metrics),
+    ])
+    assert rc == 0
+    m = json.loads(metrics.read_text())
+    assert "total_proof_time_ms" in m["counter"]
+    assert m["gauge"]["num_apcs"] == 1
+    # second run hits the artifact cache
+    rc = cli.main([
+        "prove", "--guest", "loop", "--apcs", "1", "--mode", "mock",
+        "--artifacts-dir", str(tmp_path / "artifacts"),
+    ])
+    assert rc == 0
