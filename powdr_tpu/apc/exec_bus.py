@@ -40,8 +40,10 @@ def split_sign(mult: GE) -> Optional[Tuple[int, GE]]:
 
 
 def _unify(idx_sys: IndexedSystem, state: OptimizerState, a: GE, b: GE) -> bool:
-    """Make b equal a: substitute if one side is a simple var; accept if
-    already equal; otherwise fail."""
+    """Make b equal a: substitute a simple var, solve an affine difference
+    for any of its variables, or (fallback) add a - b = 0 as an explicit
+    constraint — all three preserve the equality needed to cancel the
+    interaction pair."""
     diff = (a - b).normalized()
     if diff.is_zero():
         return True
@@ -55,7 +57,17 @@ def _unify(idx_sys: IndexedSystem, state: OptimizerState, a: GE, b: GE) -> bool:
         state.derived.append((v, b))
         idx_sys.substitute(v, b)
         return True
-    return False
+    if diff.is_affine() and diff.linear:
+        # prefer eliminating a variable of b (the "later" side)
+        cands = sorted(diff.linear, key=lambda u: (u not in b.variables(), u))
+        v = cands[0]
+        repl = diff.solve_for(v)
+        if repl is not None:
+            state.derived.append((v, repl))
+            idx_sys.substitute(v, repl)
+            return True
+    idx_sys.append_constraint(diff)
+    return True
 
 
 def collapse_exec_bus(state: OptimizerState, exec_bus_id: int) -> None:

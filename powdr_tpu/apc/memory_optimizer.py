@@ -89,18 +89,23 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
             if a is None:
                 return
             accesses.append(a)
+        cancelled_this_round = set()
         # program order: the generator emits accesses in timestamp order
         # within the block; sends carry concrete ts offsets, receives carry
         # free prev-ts vars matched to their paired send.  Pair rule: a
         # send S and the NEXT access R to the same (space, base, offset)
         # with R a receive, no intervening access to a possibly-aliasing
-        # address.
+        # address.  Many pairs cancel per scan (substitutions only replace
+        # equals-by-equals, so stale parse keys stay sound; newly-enabled
+        # pairs are caught by the next round).
         for si in range(len(accesses)):
             s = accesses[si]
-            if s.sign != 1:
+            if s.sign != 1 or si in cancelled_this_round:
                 continue
             for ri in range(si + 1, len(accesses)):
                 r = accesses[ri]
+                if ri in cancelled_this_round:
+                    continue
                 same_addr = (
                     r.space == s.space and r.base_key == s.base_key and r.offset == s.offset
                 )
@@ -111,6 +116,8 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
                     blocked = False
                     for mi in range(si + 1, ri):
                         m = accesses[mi]
+                        if mi in cancelled_this_round:
+                            continue
                         if m.space != s.space and m.space != -1 and s.space != -1:
                             continue
                         if (
@@ -135,6 +142,8 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
                     if ok:
                         drop.add(s.slot)
                         drop.add(r.slot)
+                        cancelled_this_round.add(si)
+                        cancelled_this_round.add(ri)
                         changed = True
                     break
                 # different address with unknown relation -> barrier
@@ -142,7 +151,5 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
                     r.base_key != s.base_key
                 ):
                     break
-            if changed:
-                break
     if drop:
         sys.bus_interactions = [b for i, b in enumerate(sys.bus_interactions) if i not in drop]

@@ -126,28 +126,77 @@ def _occurrence_counts(system: ConstraintSystemGE):
     return counts, bus_vars
 
 
-def remove_free_vars(state: OptimizerState) -> None:
-    """A var in exactly one constraint and no bus interaction makes that
-    constraint satisfiable by choice of the var: drop both, record the
-    derived definition for witgen."""
+STATEFUL_BUSES = {"ExecutionBridge", "Memory"}
+
+
+def remove_free_vars(state: OptimizerState, bus_map=None) -> None:
+    """Free-variable elimination (constraint_optimizer.rs:286-344):
+
+    * a var referenced by exactly one algebraic constraint (and nothing
+      else) makes that constraint satisfiable by choice -> drop both;
+    * a var referenced by exactly one *stateless* bus interaction (pc
+      lookup, range/bitwise/tuple checker) whose payload has exactly one
+      unknown field, linear in the var -> the prover can always satisfy
+      the lookup -> drop the interaction.  This is what ultimately removes
+      every pc lookup (their operands become constants)."""
+    stateless_ids = set()
+    if bus_map is not None:
+        for bid, btype in bus_map.bus_ids.items():
+            name = btype if isinstance(btype, str) else btype[0]
+            if name not in STATEFUL_BUSES:
+                stateless_ids.add(bid)
     changed = True
     while changed:
         changed = False
-        counts, bus_vars = _occurrence_counts(state.system)
-        keep: List[GE] = []
-        for c in state.system.constraints:
-            dropped = False
-            for v in sorted(c.variables()):
-                if counts.get(v) == 1 and v not in bus_vars:
-                    repl = c.solve_for(v)
-                    if repl is not None:
-                        state.derived.append((v, repl))
-                        dropped = True
-                        changed = True
-                        break
-            if not dropped:
-                keep.append(c)
-        state.system.constraints = keep
+        # occurrence slots: var -> list of ('c', idx) / ('b', idx)
+        occ: Dict[int, List[Tuple[str, int]]] = {}
+        for i, c in enumerate(state.system.constraints):
+            for v in c.variables():
+                occ.setdefault(v, []).append(("c", i))
+        for i, b in enumerate(state.system.bus_interactions):
+            vs = set()
+            for e in b.exprs():
+                vs |= e.variables()
+            for v in vs:
+                occ.setdefault(v, []).append(("b", i))
+        drop_c: set = set()
+        drop_b: set = set()
+        for v, slots in occ.items():
+            if len(slots) != 1:
+                continue
+            kind, i = slots[0]
+            if kind == "c" and i not in drop_c:
+                c = state.system.constraints[i]
+                repl = c.solve_for(v)
+                if repl is not None:
+                    state.derived.append((v, repl))
+                    drop_c.add(i)
+                    changed = True
+            elif kind == "b" and i not in drop_b:
+                b = state.system.bus_interactions[i]
+                if b.id not in stateless_ids:
+                    continue
+                if v in b.mult.variables():
+                    continue
+                unknown_fields = [a for a in b.args if a.try_to_constant() is None]
+                if len(unknown_fields) != 1:
+                    continue
+                # linear in v (affine payload suffices)
+                if not unknown_fields[0].is_affine():
+                    continue
+                # witgen note: v keeps its original gathered value; only a
+                # placeholder derived entry is recorded for the freed var
+                state.derived.append((v, GE.from_const(0)))
+                drop_b.add(i)
+                changed = True
+        if drop_c:
+            state.system.constraints = [
+                c for i, c in enumerate(state.system.constraints) if i not in drop_c
+            ]
+        if drop_b:
+            state.system.bus_interactions = [
+                b for i, b in enumerate(state.system.bus_interactions) if i not in drop_b
+            ]
 
 
 def remove_disconnected(state: OptimizerState) -> None:
@@ -294,7 +343,7 @@ def optimize_machine(
     if memory_bus_id is not None:
         passes.append(("memory", lambda s: optimize_memory(s, memory_bus_id)))
     passes += [
-        ("free_vars", remove_free_vars),
+        ("free_vars", lambda s: remove_free_vars(s, bus_map)),
         ("inline", lambda s: inline_affine(s, bound)),
         ("disconnected", remove_disconnected),
     ]

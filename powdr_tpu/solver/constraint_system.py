@@ -95,3 +95,9 @@ class IndexedSystem:
 
     def occurrences(self, v: int) -> Set[Tuple]:
         return self.var_occurrences.get(v, set())
+
+    def append_constraint(self, e: GroupedExpression) -> Tuple:
+        self.system.constraints.append(e)
+        slot = ("c", len(self.system.constraints) - 1, 0)
+        self._index_expr(slot, e)
+        return slot
