@@ -1,0 +1,258 @@
+// powdr-tpu native VM executor core.
+//
+// Counterpart of the reference's native preflight execution hot loop
+// (/root/reference/openvm/src/powdr_extension/executor/mod.rs:457-600 and
+// the interpreter pre-compute chains at :317-400): executes the program
+// and emits one columnar record per retired instruction, which the python
+// layer turns into chip witnesses.  The memory model matches
+// powdr_tpu/vm/executor.py exactly: timestamped cells, registers in
+// address space 1 (ptr = register index), RAM in address space 2
+// (4-aligned word addresses), TS_DELTA ticks per instruction.
+//
+// Build: g++ -O2 -shared -fPIC -o libexec_core.so exec_core.cpp
+#include <cstdint>
+#include <cstring>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr uint32_t MASK32 = 0xFFFFFFFFu;
+constexpr int TS_DELTA = 8;
+
+enum Opcode : int32_t {
+  OP_ADD = 0, OP_SUB, OP_AND, OP_OR, OP_XOR, OP_SLL, OP_SRL, OP_SLT, OP_SLTU,
+  OP_ADDI, OP_ANDI, OP_ORI, OP_XORI, OP_SLLI, OP_SRLI,
+  OP_LUI,
+  OP_LW, OP_SW,
+  OP_BEQ, OP_BNE, OP_BLT, OP_BLTU,
+  OP_JAL, OP_JALR,
+  OP_MUL, OP_DIVU,
+  OP_HALT,
+};
+
+struct Cell {
+  uint64_t ts = 0;
+  uint32_t val = 0;
+  uint32_t init = 0;
+  bool touched = false;
+};
+
+struct Memory {
+  // registers: flat (the vast majority of accesses); RAM: hash map
+  Cell regs[32];
+  std::unordered_map<uint32_t, Cell> ram;
+  std::unordered_map<uint64_t, uint32_t> init_map;
+
+  Cell& cell(uint32_t space, uint32_t ptr) {
+    if (space == 1) {
+      Cell& c = regs[ptr & 31];
+      c.touched = true;
+      return c;
+    }
+    auto it = ram.find(ptr);
+    if (it != ram.end()) return it->second;
+    Cell c;
+    auto f = init_map.find(ptr);
+    if (f != init_map.end()) c.val = f->second;
+    c.init = c.val;
+    c.touched = true;
+    return ram.emplace(ptr, c).first->second;
+  }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Record layout (columnar, one row per retired instruction):
+//   op, pc, ts, rs1_val, rs2_val, rd_prev, mem_val, mem_prev,
+//   prev_ts0..prev_ts3 (as many as the instruction's accesses, else 0)
+// Returns number of retired instructions (including halt), or -1 on
+// error (bad pc / unaligned address / step limit).
+int64_t powdr_execute(
+    // program: SoA arrays of length n_prog
+    const int32_t* op, const int32_t* rd, const int32_t* rs1,
+    const int32_t* rs2, const uint32_t* imm, int64_t n_prog,
+    // initial RAM image
+    const uint64_t* init_addr, const uint32_t* init_val, int64_t n_init,
+    // limits
+    int64_t max_steps,
+    // outputs (preallocated, max_steps rows)
+    int32_t* out_op, uint32_t* out_pc, uint64_t* out_ts,
+    uint32_t* out_rs1val, uint32_t* out_rs2val, uint32_t* out_rdprev,
+    uint32_t* out_memval, uint32_t* out_memprev, uint64_t* out_prevts /*4*max_steps*/,
+    // final memory dump (preallocated cap rows); returns count via n_final
+    uint64_t* fin_key, uint64_t* fin_ts, uint32_t* fin_val, uint32_t* fin_init,
+    int64_t fin_cap, int64_t* n_final) {
+  Memory mem;
+  mem.init_map.reserve(n_init * 2 + 16);
+  for (int64_t i = 0; i < n_init; i++) mem.init_map[init_addr[i]] = init_val[i];
+
+  uint32_t pc = 0;
+  uint64_t ts = 1;
+  int64_t steps = 0;
+  bool halted = false;
+
+  while (steps < max_steps) {
+    if (pc % 4 != 0 || pc / 4 >= (uint64_t)n_prog) return -1;
+    int64_t idx = pc / 4;
+    int32_t o = op[idx];
+    out_op[steps] = o;
+    out_pc[steps] = pc;
+    out_ts[steps] = ts;
+    out_rs1val[steps] = out_rs2val[steps] = out_rdprev[steps] = 0;
+    out_memval[steps] = out_memprev[steps] = 0;
+    uint64_t* pts = out_prevts + 4 * steps;
+    pts[0] = pts[1] = pts[2] = pts[3] = 0;
+    int k = 0;
+
+    if (o == OP_HALT) {
+      steps++;
+      halted = true;
+      break;
+    }
+
+    auto rd_reg = [&](uint32_t r) {
+      Cell& c = mem.cell(1, r);
+      pts[k] = c.ts;
+      c.ts = ts + k;
+      k++;
+      return c.val;
+    };
+    auto wr_reg = [&](uint32_t r, uint32_t v) {
+      Cell& c = mem.cell(1, r);
+      pts[k] = c.ts;
+      uint32_t prev = c.val;
+      c.ts = ts + k;
+      c.val = v;
+      k++;
+      return prev;
+    };
+
+    uint32_t next_pc = pc + 4;
+    uint32_t im = imm[idx];
+    uint32_t a, y, z;
+    switch (o) {
+      case OP_ADD: case OP_SUB: case OP_AND: case OP_OR: case OP_XOR:
+      case OP_MUL: case OP_SLTU: {
+        a = rd_reg(rs1[idx]);
+        y = rd_reg(rs2[idx]);
+        out_rs1val[steps] = a;
+        out_rs2val[steps] = y;
+        switch (o) {
+          case OP_ADD: z = a + y; break;
+          case OP_SUB: z = a - y; break;
+          case OP_AND: z = a & y; break;
+          case OP_OR: z = a | y; break;
+          case OP_XOR: z = a ^ y; break;
+          case OP_MUL: z = (uint32_t)((uint64_t)a * y); break;
+          default: z = a < y ? 1 : 0; break;
+        }
+        out_rdprev[steps] = wr_reg(rd[idx], z);
+        break;
+      }
+      case OP_ADDI: case OP_ANDI: case OP_ORI: case OP_XORI: {
+        a = rd_reg(rs1[idx]);
+        out_rs1val[steps] = a;
+        switch (o) {
+          case OP_ADDI: z = a + im; break;
+          case OP_ANDI: z = a & im; break;
+          case OP_ORI: z = a | im; break;
+          default: z = a ^ im; break;
+        }
+        out_rdprev[steps] = wr_reg(rd[idx], z);
+        break;
+      }
+      case OP_SLLI: case OP_SRLI: {
+        a = rd_reg(rs1[idx]);
+        out_rs1val[steps] = a;
+        uint32_t s = im & 31;
+        z = (o == OP_SLLI) ? (a << s) : (a >> s);
+        out_rdprev[steps] = wr_reg(rd[idx], z);
+        break;
+      }
+      case OP_LUI:
+        out_rdprev[steps] = wr_reg(rd[idx], im);
+        break;
+      case OP_LW: {
+        a = rd_reg(rs1[idx]);
+        out_rs1val[steps] = a;
+        uint32_t addr = a + im;
+        if (addr % 4 != 0 || addr >= (1u << 30)) return -1;
+        Cell& c = mem.cell(2, addr);
+        pts[k] = c.ts;
+        c.ts = ts + k;
+        k++;
+        out_memval[steps] = c.val;
+        out_rdprev[steps] = wr_reg(rd[idx], c.val);
+        break;
+      }
+      case OP_SW: {
+        a = rd_reg(rs1[idx]);
+        y = rd_reg(rs2[idx]);
+        out_rs1val[steps] = a;
+        out_rs2val[steps] = y;
+        uint32_t addr = a + im;
+        if (addr % 4 != 0 || addr >= (1u << 30)) return -1;
+        Cell& c = mem.cell(2, addr);
+        pts[k] = c.ts;
+        out_memprev[steps] = c.val;
+        c.ts = ts + k;
+        c.val = y;
+        k++;
+        break;
+      }
+      case OP_BEQ: case OP_BNE: case OP_BLTU: {
+        a = rd_reg(rs1[idx]);
+        y = rd_reg(rs2[idx]);
+        out_rs1val[steps] = a;
+        out_rs2val[steps] = y;
+        bool taken = (o == OP_BEQ) ? (a == y) : (o == OP_BNE) ? (a != y) : (a < y);
+        if (taken) next_pc = im;
+        break;
+      }
+      case OP_JAL:
+        out_rdprev[steps] = wr_reg(rd[idx], pc + 4);
+        next_pc = im;
+        break;
+      case OP_JALR: {
+        a = rd_reg(rs1[idx]);
+        out_rs1val[steps] = a;
+        out_rdprev[steps] = wr_reg(rd[idx], pc + 4);
+        next_pc = a + im;
+        break;
+      }
+      default:
+        return -1;
+    }
+    pc = next_pc;
+    ts += TS_DELTA;
+    steps++;
+  }
+  if (!halted) return -1;
+
+  // final memory dump
+  int64_t nf = 0;
+  for (uint32_t r = 0; r < 32; r++) {
+    if (!mem.regs[r].touched) continue;
+    if (nf >= fin_cap) return -1;
+    fin_key[nf] = (uint64_t(1) << 32) | r;
+    fin_ts[nf] = mem.regs[r].ts;
+    fin_val[nf] = mem.regs[r].val;
+    fin_init[nf] = mem.regs[r].init;
+    nf++;
+  }
+  for (auto& kv : mem.ram) {
+    if (nf >= fin_cap) return -1;
+    fin_key[nf] = (uint64_t(2) << 32) | kv.first;
+    fin_ts[nf] = kv.second.ts;
+    fin_val[nf] = kv.second.val;
+    fin_init[nf] = kv.second.init;
+    nf++;
+  }
+  *n_final = nf;
+  return steps;
+}
+
+}  // extern "C"

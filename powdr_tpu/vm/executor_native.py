@@ -1,0 +1,164 @@
+"""ctypes bridge to the C++ executor core (native/exec_core.cpp).
+
+Runs the same semantics as the python Executor at native speed and
+reconstructs an identical ExecutionResult (records, pc trace, boundary
+state).  Builds the shared library on first use (g++; cached next to the
+source)."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from .executor import ExecutionResult
+from .isa import Instruction, OPCODES, OPCODE_ID, TS_DELTA
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "native")
+_LIB = None
+
+
+def _build_lib() -> str:
+    src = os.path.join(_NATIVE_DIR, "exec_core.cpp")
+    out = os.path.join(_NATIVE_DIR, "libexec_core.so")
+    if not os.path.exists(out) or os.path.getmtime(out) < os.path.getmtime(src):
+        subprocess.run(
+            ["g++", "-O2", "-shared", "-fPIC", "-std=c++17", "-o", out, src],
+            check=True,
+        )
+    return out
+
+
+def _lib():
+    global _LIB
+    if _LIB is None:
+        lib = ctypes.CDLL(_build_lib())
+        u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
+        u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        lib.powdr_execute.restype = ctypes.c_int64
+        lib.powdr_execute.argtypes = [
+            i32p, i32p, i32p, i32p, u32p, ctypes.c_int64,
+            u64p, u32p, ctypes.c_int64,
+            ctypes.c_int64,
+            i32p, u32p, u64p, u32p, u32p, u32p, u32p, u32p, u64p,
+            u64p, u64p, u32p, u32p, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        _LIB = lib
+    return _LIB
+
+
+# per-opcode access counts in record order (matches machines.py witgen)
+_N_ACCESS = {
+    **{op: 3 for op in ("add", "sub", "and", "or", "xor", "mul", "sltu")},
+    **{op: 2 for op in ("addi", "andi", "ori", "xori", "slli", "srli")},
+    "lui": 1, "lw": 3, "sw": 3, "beq": 2, "bne": 2, "bltu": 2,
+    "jal": 1, "jalr": 2, "halt": 0,
+}
+
+
+_BUFS: Dict[int, tuple] = {}
+
+
+def _buffers(max_steps: int):
+    """Output buffers are reused across runs — first-touch page faults on
+    fresh numpy allocations otherwise dominate the native core's runtime."""
+    if max_steps not in _BUFS:
+        _BUFS.clear()
+        _BUFS[max_steps] = (
+            np.empty(max_steps, dtype=np.int32),
+            np.empty(max_steps, dtype=np.uint32),
+            np.empty(max_steps, dtype=np.uint64),
+            np.empty(max_steps, dtype=np.uint32),
+            np.empty(max_steps, dtype=np.uint32),
+            np.empty(max_steps, dtype=np.uint32),
+            np.empty(max_steps, dtype=np.uint32),
+            np.empty(max_steps, dtype=np.uint32),
+            np.empty(4 * max_steps, dtype=np.uint64),
+        )
+    return _BUFS[max_steps]
+
+
+def run_native(
+    program: List[Instruction],
+    initial_mem: Optional[Dict[int, int]] = None,
+    max_steps: int = 1 << 20,
+) -> ExecutionResult:
+    lib = _lib()
+    n = len(program)
+    op = np.array([OPCODE_ID[i.op] for i in program], dtype=np.int32)
+    rd = np.array([i.rd for i in program], dtype=np.int32)
+    rs1 = np.array([i.rs1 for i in program], dtype=np.int32)
+    rs2 = np.array([i.rs2 for i in program], dtype=np.int32)
+    imm = np.array([i.imm % (1 << 32) for i in program], dtype=np.uint32)
+    init = sorted((initial_mem or {}).items())
+    init_addr = np.array([a for a, _ in init], dtype=np.uint64)
+    init_val = np.array([v for _, v in init], dtype=np.uint32)
+
+    (out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts) = _buffers(
+        max_steps
+    )
+    fin_cap = 4 * max_steps + len(init) + 64
+    fin_key = np.empty(fin_cap, dtype=np.uint64)
+    fin_ts = np.empty(fin_cap, dtype=np.uint64)
+    fin_val = np.empty(fin_cap, dtype=np.uint32)
+    fin_init = np.empty(fin_cap, dtype=np.uint32)
+    n_final = ctypes.c_int64(0)
+
+    steps = lib.powdr_execute(
+        op, rd, rs1, rs2, imm, n,
+        init_addr, init_val, len(init),
+        max_steps,
+        out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
+        fin_key, fin_ts, fin_val, fin_init, fin_cap,
+        ctypes.byref(n_final),
+    )
+    if steps < 0:
+        raise RuntimeError("native execution failed (bad pc/address or step limit)")
+
+    records: Dict[str, List[dict]] = {}
+    pc_trace: List[int] = []
+    for s in range(steps):
+        opname = OPCODES[out_op[s]]
+        pc = int(out_pc[s])
+        pc_trace.append(pc)
+        ins = program[pc // 4]
+        na = _N_ACCESS[opname]
+        rec = {
+            "op": opname,
+            "pc": pc,
+            "ts": int(out_ts[s]),
+            "rd": ins.rd,
+            "rs1": ins.rs1,
+            "rs2": ins.rs2,
+            "imm": ins.imm % (1 << 32),
+            "prev_ts": [int(out_pts[4 * s + j]) for j in range(na)],
+            "rs1_val": int(out_rs1[s]),
+            "rs2_val": int(out_rs2[s]),
+            "rd_prev": int(out_rdp[s]),
+            "mem_val": int(out_mv[s]),
+            "mem_prev": int(out_mp[s]),
+        }
+        records.setdefault(opname, []).append(rec)
+
+    final_mem = {}
+    initial_cells = []
+    nf = n_final.value
+    for i in range(nf):
+        key = int(fin_key[i])
+        space, ptr = key >> 32, key & 0xFFFFFFFF
+        final_mem[(space, ptr)] = (int(fin_ts[i]), int(fin_val[i]))
+        initial_cells.append((space, ptr, int(fin_init[i])))
+    initial_cells.sort()
+
+    return ExecutionResult(
+        records=records,
+        pc_trace=pc_trace,
+        final_mem=final_mem,
+        initial_cells=initial_cells,
+        instret=steps,
+        halted=True,
+    )

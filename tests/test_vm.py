@@ -125,3 +125,22 @@ def test_full_vm_stark_proof_with_apc(small_tables):
     cfg = StarkConfig(log_blowup=2, num_queries=8, proof_of_work_bits=2)
     airs, proof = prove_chips(chips, cfg)
     verify_chips(airs, proof, cfg)
+
+
+def test_native_executor_equivalence():
+    """C++ core (native/exec_core.cpp) matches the python executor on all
+    guests, record for record."""
+    from powdr_tpu.vm.executor_native import run_native
+
+    for g in (sha256_guest, matmul_guest, u256_add_guest):
+        prog, mem, check = g()
+        py = Executor(prog, mem).run()
+        nat = run_native(prog, mem)
+        check(nat)
+        assert nat.pc_trace == py.pc_trace
+        assert nat.final_mem == py.final_mem
+        assert nat.instret == py.instret
+        for op in py.records:
+            for a, b in zip(py.records[op], nat.records[op]):
+                for k, v in a.items():
+                    assert b[k] == v, (op, k)
