@@ -96,3 +96,18 @@ def test_eval_poly_at_ext(rng):
         acc = ext.py_mul(acc, [int(x) for x in z])
         acc = ((acc[0] + int(c)) % P, acc[1], acc[2], acc[3])
     assert tuple(got) == acc
+
+
+def test_mxu_ntt_matches_ladder(rng):
+    """MXU matmul-NTT (canonical form) must equal the radix-2 ladder's
+    bit-reversed output exactly."""
+    import jax.numpy as jnp
+    from powdr_tpu.ntt.mxu import ntt_mxu_nat_to_rev
+    from powdr_tpu.ntt.ntt import ntt_natural_to_rev
+
+    for log_n in (4, 9, 13):
+        n = 1 << log_n
+        x = rng.integers(0, P, size=n, dtype=np.uint64).astype(np.uint32)
+        expect = np.asarray(bb.from_mont(ntt_natural_to_rev(bb.to_mont(jnp.asarray(x)))))
+        got = np.asarray(ntt_mxu_nat_to_rev(jnp.asarray(x)))
+        np.testing.assert_array_equal(got, expect)
