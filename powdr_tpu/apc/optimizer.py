@@ -172,6 +172,17 @@ def remove_free_vars(state: OptimizerState, bus_map=None) -> None:
                     state.derived.append((v, repl))
                     drop_c.add(i)
                     changed = True
+                elif c.variables() == {v}:
+                    # single-variable constraint on an otherwise-unused var:
+                    # satisfiable by picking any root (e.g. boolean/ternary
+                    # checks on dead witness bits)
+                    from ..solver.solver import _single_var_roots
+
+                    roots = _single_var_roots(c.normalized(), v)
+                    if roots:
+                        state.derived.append((v, GE.from_const(roots[0])))
+                        drop_c.add(i)
+                        changed = True
             elif kind == "b" and i not in drop_b:
                 b = state.system.bus_interactions[i]
                 if b.id not in stateless_ids:
@@ -260,6 +271,36 @@ def inline_affine(state: OptimizerState, bound: DegreeBound, max_terms: int = 6)
     remove_trivial(state)
 
 
+def exhaustive_search_pass(state: OptimizerState) -> None:
+    """Enumerate small-range variable groups; apply the resulting
+    assignments, substitutions and range refinements
+    (exhaustive_search.rs analog)."""
+    from ..solver.constraint_system import IndexedSystem
+    from ..solver.exhaustive import exhaustive_pass
+
+    agg = exhaustive_pass(state.system, state.bus_ranges)
+    if agg.get("contradiction"):
+        raise RuntimeError("exhaustive search found an unsatisfiable group")
+    if not (agg["assign"] or agg["subs"] or agg["ranges"]):
+        return
+    idx_sys = IndexedSystem(state.system)
+    for v, val in agg["assign"].items():
+        state.derived.append((v, GE.from_const(val)))
+        idx_sys.substitute(v, GE.from_const(val))
+    for vb, (va, s, t) in agg["subs"].items():
+        if vb in agg["assign"] or va in agg["assign"]:
+            continue
+        repl = GE.from_var(va).scale(s) + GE.from_const(t)
+        state.derived.append((vb, repl))
+        idx_sys.substitute(vb, repl)
+    for v, rc in agg["ranges"].items():
+        if v in agg["assign"] or v in agg["subs"]:
+            continue
+        cur = state.bus_ranges.get(v, RangeConstraint.default())
+        state.bus_ranges[v] = cur.conjunction(rc)
+    remove_trivial(state)
+
+
 def cancel_bus_interactions(state: OptimizerState) -> None:
     """Sum multiplicities of interactions with identical (bus, args);
     drop zero-mult interactions."""
@@ -338,6 +379,7 @@ def optimize_machine(
     passes = [
         ("solver", solver_pass),
         ("trivial", remove_trivial),
+        ("exhaustive", exhaustive_search_pass),
         ("cancel_bus", cancel_bus_interactions),
     ]
     if memory_bus_id is not None:

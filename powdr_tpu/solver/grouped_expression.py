@@ -114,6 +114,15 @@ class GroupedExpression:
             return self.scale(oc)
         return GroupedExpression(quadratic=[(self, other)])
 
+    def eval(self, assignment: Dict[int, int]) -> int:
+        """Evaluate under a (complete) variable assignment."""
+        acc = self.constant
+        for v, c in self.linear.items():
+            acc = (acc + c * assignment[v]) % P
+        for l, r in self.quadratic:
+            acc = (acc + l.eval(assignment) * r.eval(assignment)) % P
+        return acc
+
     # -- substitution --------------------------------------------------------
 
     def substitute(self, v: int, repl: "GroupedExpression") -> "GroupedExpression":

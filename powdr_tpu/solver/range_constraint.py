@@ -74,6 +74,13 @@ class RangeConstraint:
     def is_unconstrained(self) -> bool:
         return self.range_size() >= P and self.mask == FULL_MASK
 
+    def values(self, limit: int = 64):
+        """Explicit value list if the set is small, else None."""
+        if self.is_wrapping() or self.range_size() > 4 * limit:
+            return None
+        out = [v for v in range(self.min, self.max + 1) if not (v & ~self.mask)]
+        return out if len(out) <= limit else None
+
     # -- lattice + arithmetic ------------------------------------------------
 
     def conjunction(self, other: "RangeConstraint") -> "RangeConstraint":

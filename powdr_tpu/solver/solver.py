@@ -215,39 +215,23 @@ class Solver:
             self._process_affine(f)
 
     def _try_two_root(self, e: GroupedExpression):
-        """Quadratic in a single variable -> at most two roots -> range.
+        """Single-variable constraint -> root set -> range.
 
-        Covers the boolean pattern x*(x-1) = 0 (boolean_extractor.rs)."""
+        Handles the boolean pattern x(x-1)=0 (boolean_extractor.rs), the
+        ternary x(x-1)(x-2)=0 keccak flags, and generally any nested
+        product of affine/quadratic single-variable factors."""
         vs = e.variables()
         if len(vs) != 1:
             return
         (v,) = vs
-        # expand as a polynomial in v: collect a*v^2 + b*v + c
-        a = b = 0
-        for l, r in e.quadratic:
-            if not (l.is_affine() and r.is_affine()):
-                return
-            la, lb = l.linear.get(v, 0), l.constant
-            ra, rb = r.linear.get(v, 0), r.constant
-            a = (a + la * ra) % P
-            b = (b + la * rb + lb * ra) % P
-        b = (b + e.linear.get(v, 0)) % P
-        c = e.constant
-        for l, r in e.quadratic:
-            c = (c + l.constant * r.constant) % P
-        # subtract the double-counted constant*constant terms? no:
-        # expansion above: (la*v+lb)(ra*v+rb) = la*ra v^2 + (la*rb+lb*ra) v + lb*rb
-        if a == 0:
+        roots = _single_var_roots(e, v)
+        if roots is None:
             return
-        # roots of a v^2 + b v + c: v = (-b ± sqrt(b^2-4ac)) / 2a
-        disc = (b * b - 4 * a * c) % P
-        s = _sqrt_mod(disc)
-        if s is None:
-            raise Contradiction(f"quadratic in x{v} has no roots")
-        inv2a = pow(2 * a % P, P - 2, P)
-        r1 = (-b + s) * inv2a % P
-        r2 = (-b - s) * inv2a % P
-        rc = RangeConstraint.from_value(r1).disjunction(RangeConstraint.from_value(r2))
+        if not roots:
+            raise Contradiction(f"single-variable constraint in x{v} has no roots")
+        rc = RangeConstraint.from_value(roots[0])
+        for r in roots[1:]:
+            rc = rc.disjunction(RangeConstraint.from_value(r))
         self._update_range(v, rc)
 
     # -- main loop -----------------------------------------------------------
@@ -283,6 +267,108 @@ class Solver:
                     self.result.assignments[v] = c
                     self.result.ranges[v] = RangeConstraint.from_value(c)
                     changed = True
+
+
+def _poly_coeffs(e: GroupedExpression, v: int, max_deg: int = 8) -> Optional[List[int]]:
+    """Coefficients [c0, c1, ...] of e as a polynomial in its single
+    variable v, or None if not expressible within max_deg."""
+    if e.is_affine():
+        return [e.constant, e.linear.get(v, 0)]
+    coeffs = [e.constant % P, e.linear.get(v, 0) % P]
+    for l, r in e.quadratic:
+        lc = _poly_coeffs(l, v, max_deg)
+        rc = _poly_coeffs(r, v, max_deg)
+        if lc is None or rc is None:
+            return None
+        if len(lc) + len(rc) - 2 > max_deg:
+            return None
+        prod = [0] * (len(lc) + len(rc) - 1)
+        for i, a in enumerate(lc):
+            for j, b in enumerate(rc):
+                prod[i + j] = (prod[i + j] + a * b) % P
+        while len(coeffs) < len(prod):
+            coeffs.append(0)
+        for i, c in enumerate(prod):
+            coeffs[i] = (coeffs[i] + c) % P
+    while len(coeffs) > 1 and coeffs[-1] == 0:
+        coeffs.pop()
+    return coeffs
+
+
+def _single_var_roots(e: GroupedExpression, v: int) -> Optional[List[int]]:
+    """Roots of a single-variable constraint, when tractable.
+
+    Fast path: products of factors (roots = union).  General path:
+    expand to polynomial of degree <= 3 and factor via root search on
+    degree <= 2 after trial division is not applicable — degree 1/2 have
+    closed forms; degree 3 handled by checking small candidate roots
+    {0,1,2,3} then deflating."""
+    # product-only form: roots = union of factor roots
+    if not e.linear and e.constant == 0 and len(e.quadratic) == 1:
+        l, r = e.quadratic[0]
+
+        def factor_roots(f):
+            c = f.try_to_constant()
+            if c is None:
+                return _single_var_roots(f, v)
+            return None if c % P == 0 else []
+
+        lr = factor_roots(l)
+        rr = factor_roots(r)
+        if lr is not None and rr is not None:
+            return sorted(set(lr) | set(rr))
+    coeffs = _poly_coeffs(e, v, max_deg=3)
+    if coeffs is None:
+        return None
+    deg = len(coeffs) - 1
+    if deg <= 0:
+        return None
+    if deg == 1:
+        c0, c1 = coeffs
+        return [(-c0) * pow(c1, P - 2, P) % P]
+    if deg == 2:
+        c0, c1, c2 = coeffs
+        disc = (c1 * c1 - 4 * c2 * c0) % P
+        s = _sqrt_mod(disc)
+        if s is None:
+            return []
+        inv2a = pow(2 * c2 % P, P - 2, P)
+        return sorted({(-c1 + s) * inv2a % P, (-c1 - s) * inv2a % P})
+    # degree 3: look for a small root, deflate, solve the quadratic
+    for cand in (0, 1, 2, 3, P - 1, P - 2):
+        val = 0
+        for c in reversed(coeffs):
+            val = (val * cand + c) % P
+        if val == 0:
+            # synthetic division by (v - cand)
+            out = []
+            acc = 0
+            for c in reversed(coeffs):
+                acc = (acc * cand + c) % P
+                out.append(acc)
+            quot = out[:-1]  # coefficients of quotient, highest first
+            q = list(reversed(quot))
+            rest_roots = _quad_roots_from_coeffs(q)
+            if rest_roots is None:
+                return None
+            return sorted(set([cand] + rest_roots))
+    return None
+
+
+def _quad_roots_from_coeffs(q: List[int]) -> Optional[List[int]]:
+    while len(q) > 1 and q[-1] % P == 0:
+        q.pop()
+    if len(q) == 2:
+        return [(-q[0]) * pow(q[1], P - 2, P) % P]
+    if len(q) == 3:
+        c0, c1, c2 = [c % P for c in q]
+        disc = (c1 * c1 - 4 * c2 * c0) % P
+        s = _sqrt_mod(disc)
+        if s is None:
+            return []
+        inv2a = pow(2 * c2 % P, P - 2, P)
+        return sorted({(-c1 + s) * inv2a % P, (-c1 - s) * inv2a % P})
+    return None
 
 
 def _sqrt_mod(a: int) -> Optional[int]:
