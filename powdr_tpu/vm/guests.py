@@ -215,3 +215,173 @@ def u256_add_guest():
         assert got == s, (hex(got), hex(s))
 
     return assemble(L), mem, check
+
+
+# -- keccak-f[1600] -----------------------------------------------------------
+
+KC_A = 0x800  # state: 25 lanes x (lo, hi) words
+KC_B = 0xC00  # rho/pi scratch
+KC_C = 0xB00  # theta column parity scratch
+KC_RC = 0xA00  # round constants (24 x 2 words)
+
+_KECCAK_RC = [
+    0x0000000000000001, 0x0000000000008082, 0x800000000000808A, 0x8000000080008000,
+    0x000000000000808B, 0x0000000080000001, 0x8000000080008081, 0x8000000000008009,
+    0x000000000000008A, 0x0000000000000088, 0x0000000080008009, 0x000000008000000A,
+    0x000000008000808B, 0x800000000000008B, 0x8000000000008089, 0x8000000000008003,
+    0x8000000000008002, 0x8000000000000080, 0x000000000000800A, 0x800000008000000A,
+    0x8000000080008081, 0x8000000000008080, 0x0000000080000001, 0x8000000080008008,
+]
+
+_RHO = [
+    [0, 36, 3, 41, 18],
+    [1, 44, 10, 45, 2],
+    [62, 6, 43, 15, 61],
+    [28, 55, 25, 21, 56],
+    [27, 20, 39, 8, 14],
+]
+
+
+def py_keccak_f(state):
+    """Reference keccak-f[1600] on a 25-int list (python ground truth)."""
+    A = list(state)
+    M = (1 << 64) - 1
+
+    def rot(v, n):
+        n %= 64
+        return ((v << n) | (v >> (64 - n))) & M
+
+    for rc in _KECCAK_RC:
+        C = [A[x] ^ A[x + 5] ^ A[x + 10] ^ A[x + 15] ^ A[x + 20] for x in range(5)]
+        D = [C[(x - 1) % 5] ^ rot(C[(x + 1) % 5], 1) for x in range(5)]
+        for x in range(5):
+            for y in range(5):
+                A[x + 5 * y] ^= D[x]
+        B = [0] * 25
+        for x in range(5):
+            for y in range(5):
+                B[y + 5 * ((2 * x + 3 * y) % 5)] = rot(A[x + 5 * y], _RHO[x][y])
+        for x in range(5):
+            for y in range(5):
+                A[x + 5 * y] = B[x + 5 * y] ^ ((~B[(x + 1) % 5 + 5 * y]) & B[(x + 2) % 5 + 5 * y])
+        A[0] ^= rc
+    return A
+
+
+def _lane(base, i):
+    return base + 8 * i
+
+
+def _load64(L, lo_reg, hi_reg, addr):
+    L.append(("lw", lo_reg, 0, 0, addr))
+    L.append(("lw", hi_reg, 0, 0, addr + 4))
+
+
+def _store64(L, lo_reg, hi_reg, addr):
+    L.append(("sw", 0, 0, lo_reg, addr))
+    L.append(("sw", 0, 0, hi_reg, addr + 4))
+
+
+def _xor64(L, dl, dh, sl, sh):
+    L.append(("xor", dl, dl, sl))
+    L.append(("xor", dh, dh, sh))
+
+
+def _rot64(L, lo, hi, n, t1, t2):
+    """(lo, hi) <- rotl64 by constant n, clobbering t1/t2."""
+    n %= 64
+    if n == 0:
+        return
+    if n >= 32:
+        L.append(("addi", t1, lo, 0, 0))
+        L.append(("addi", lo, hi, 0, 0))
+        L.append(("addi", hi, t1, 0, 0))
+        n -= 32
+        if n == 0:
+            return
+    # 0 < n < 32
+    L.append(("srli", t1, hi, 0, 32 - n))
+    L.append(("srli", t2, lo, 0, 32 - n))
+    L.append(("slli", lo, lo, 0, n))
+    L.append(("slli", hi, hi, 0, n))
+    L.append(("or", lo, lo, t1))
+    L.append(("or", hi, hi, t2))
+
+
+def keccak_f_guest(seed: int = 42):
+    """One keccak-f[1600] permutation (guest-keccak counterpart).
+
+    State lanes as (lo, hi) 32-bit word pairs in RAM; theta/rho-pi/chi
+    fully unrolled inside a 24-iteration round loop walking the RC table."""
+    import random
+
+    rnd = random.Random(seed)
+    state = [rnd.getrandbits(64) for _ in range(25)]
+    expect = py_keccak_f(state)
+
+    mem = {}
+    for i, v in enumerate(state):
+        mem[_lane(KC_A, i)] = v & 0xFFFFFFFF
+        mem[_lane(KC_A, i) + 4] = v >> 32
+    for r, rc in enumerate(_KECCAK_RC):
+        mem[KC_RC + 8 * r] = rc & 0xFFFFFFFF
+        mem[KC_RC + 8 * r + 4] = rc >> 32
+
+    L: List = []
+    # x20 = RC pointer, x21 = RC end
+    L.append(("lui", 20, 0, 0, KC_RC))
+    L.append(("lui", 21, 0, 0, KC_RC + 8 * 24))
+    L.append("round:")
+    # theta: C[x] = A[x] ^ A[x+5] ^ ... ^ A[x+20]
+    for x in range(5):
+        _load64(L, 1, 2, _lane(KC_A, x))
+        for y in range(1, 5):
+            _load64(L, 3, 4, _lane(KC_A, x + 5 * y))
+            _xor64(L, 1, 2, 3, 4)
+        _store64(L, 1, 2, _lane(KC_C, x))
+    # D[x] = C[x-1] ^ rot(C[x+1], 1); A[x+5y] ^= D[x]
+    for x in range(5):
+        _load64(L, 1, 2, _lane(KC_C, (x + 1) % 5))
+        _rot64(L, 1, 2, 1, 3, 4)
+        _load64(L, 3, 4, _lane(KC_C, (x - 1) % 5))
+        _xor64(L, 1, 2, 3, 4)  # D in (1,2)
+        for y in range(5):
+            _load64(L, 3, 4, _lane(KC_A, x + 5 * y))
+            _xor64(L, 3, 4, 1, 2)
+            _store64(L, 3, 4, _lane(KC_A, x + 5 * y))
+    # rho + pi: B[y + 5((2x+3y)%5)] = rot(A[x+5y], RHO[x][y])
+    for x in range(5):
+        for y in range(5):
+            _load64(L, 1, 2, _lane(KC_A, x + 5 * y))
+            _rot64(L, 1, 2, _RHO[x][y], 3, 4)
+            _store64(L, 1, 2, _lane(KC_B, y + 5 * ((2 * x + 3 * y) % 5)))
+    # chi: A[x+5y] = B[x] ^ (~B[x+1] & B[x+2])  (row-wise)
+    for y in range(5):
+        for x in range(5):
+            _load64(L, 1, 2, _lane(KC_B, (x + 1) % 5 + 5 * y))
+            L.append(("xori", 1, 1, 0, 0xFFFFFFFF))
+            L.append(("xori", 2, 2, 0, 0xFFFFFFFF))
+            _load64(L, 3, 4, _lane(KC_B, (x + 2) % 5 + 5 * y))
+            L.append(("and", 1, 1, 3))
+            L.append(("and", 2, 2, 4))
+            _load64(L, 3, 4, _lane(KC_B, x + 5 * y))
+            _xor64(L, 1, 2, 3, 4)
+            _store64(L, 1, 2, _lane(KC_A, x + 5 * y))
+    # iota: A[0] ^= RC[r]
+    L.append(("lw", 1, 20, 0, 0))
+    L.append(("lw", 2, 20, 0, 4))
+    _load64(L, 3, 4, _lane(KC_A, 0))
+    _xor64(L, 3, 4, 1, 2)
+    _store64(L, 3, 4, _lane(KC_A, 0))
+    L.append(("addi", 20, 20, 0, 8))
+    L.append(("bne", 0, 20, 21, "round"))
+    L.append(("halt",))
+
+    def check(result):
+        for i in range(25):
+            lo = result.final_mem[(2, _lane(KC_A, i))][1]
+            hi = result.final_mem[(2, _lane(KC_A, i) + 4)][1]
+            got = lo | (hi << 32)
+            assert got == expect[i], (i, hex(got), hex(expect[i]))
+
+    return assemble(L), mem, check

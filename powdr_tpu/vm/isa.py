@@ -37,8 +37,8 @@ BITWISE_BUS = 6
 POW2_BUS = 7
 
 TS_DELTA = 8  # timestamp budget per instruction (max memory accesses)
-DT_BITS = 16  # timestamp-gap range check width (caps segment length at
-              # 2^DT_BITS/TS_DELTA = 8192 instructions; see system.MAX_RANGE_BITS)
+DT_BITS = 18  # timestamp-gap range check width (caps segment length at
+              # 2^DT_BITS/TS_DELTA = 32768 instructions; see system.MAX_RANGE_BITS)
 CARRY_BITS = 10  # long-multiplication carry range width
 
 VM_BUS_MAP = BusMap(

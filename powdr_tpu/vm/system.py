@@ -32,7 +32,7 @@ from .isa import (
 from .machines import registry
 
 P = 2013265921
-MAX_RANGE_BITS = 16  # table size 2^(bits+1); must cover isa.DT_BITS
+MAX_RANGE_BITS = 18  # table size 2^(bits+1); must cover isa.DT_BITS
 
 
 @dataclass

@@ -144,3 +144,26 @@ def test_native_executor_equivalence():
             for a, b in zip(py.records[op], nat.records[op]):
                 for k, v in a.items():
                     assert b[k] == v, (op, k)
+
+
+@pytest.mark.slow
+def test_guest_keccak_with_apc():
+    """guest-keccak + autoprecompile (BASELINE config 2 shape): the
+    945-instruction round block becomes a single APC chip."""
+    from powdr_tpu.vm.apc import build_chips_with_apcs
+    from powdr_tpu.vm.executor_native import run_native
+    from powdr_tpu.vm.guests import keccak_f_guest
+    from powdr_tpu.vm.pgo import generate_candidates, select_apcs
+
+    prog, mem, check = keccak_f_guest()
+    res = run_native(prog, mem)
+    check(res)
+    cands = generate_candidates(prog, res)
+    assert cands and cands[0].execution_count == 24
+    assert cands[0].apc.report.after["columns"] < cands[0].apc.report.before["columns"]
+    apcs = select_apcs(cands, max_apcs=1)
+    chips = build_chips_with_apcs(prog, res, apcs)
+    names = {c.name for c in chips}
+    # every xor/and/add/lw/sw of the round body lives inside the APC
+    assert names & {"xor", "and", "lw", "sw"} == set()
+    mock_check(chips)
