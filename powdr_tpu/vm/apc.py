@@ -35,16 +35,34 @@ class VmApc:
     subs: Dict[int, Tuple[int, str]]
     report: OptimizeReport
     name: str = "apc"
+    #: runtime-checked assumptions (empirical/optimistic mode); None = safe
+    optimistic: Optional[object] = None
 
 
-def build_apc(block: BasicBlock, degree_bound: Optional[DegreeBound] = None) -> VmApc:
+def build_apc(
+    block: BasicBlock,
+    degree_bound: Optional[DegreeBound] = None,
+    empirical=None,
+) -> VmApc:
     """Concatenate the block's instruction machines with fresh column ids,
     substitute pc-lookup operands with the block's constants, drop the
     pc-lookup interactions, then run the optimizer
-    (symbolic_machine_generator.rs:118,134 + optimizer.rs:34 parity)."""
+    (symbolic_machine_generator.rs:118,134 + optimizer.rs:34 parity).
+
+    With `empirical` (pc -> PcEmpirical from vm.empirical.detect), the
+    observed facts become *optimistic* substitutions/ranges baked into the
+    machine; the returned VmApc carries the runtime-check set."""
+    from .empirical import OptimisticConstraints, block_optimistic
+
+    opt = None
+    opt_ranges = {}
+    if empirical is not None:
+        opt, opt_ranges = block_optimistic(block, empirical)
+
     constraints: List[ir.Expr] = []
     interactions: List[SymbolicBusInteraction] = []
     subs: Dict[int, Tuple[int, str]] = {}
+    var_of: Dict[Tuple[int, str], int] = {}
     next_id = 0
     for i, ins in enumerate(block.instructions):
         builder, _ = registry()[ins.op]
@@ -62,9 +80,12 @@ def build_apc(block: BasicBlock, degree_bound: Optional[DegreeBound] = None) -> 
         for local_id, name in enumerate(builder.cols):
             if name in const_map:
                 id_map[local_id] = ir.Const(const_map[name])
+            elif opt is not None and (i, name) in opt.constants:
+                id_map[local_id] = ir.Const(opt.constants[(i, name)])
             else:
                 id_map[local_id] = ir.Var(name=f"{name}_{i}", id=next_id)
                 subs[next_id] = (i, name)
+                var_of[(i, name)] = next_id
                 next_id += 1
 
         def remap(e: ir.Expr) -> ir.Expr:
@@ -93,13 +114,27 @@ def build_apc(block: BasicBlock, degree_bound: Optional[DegreeBound] = None) -> 
                 )
             )
     machine = SymbolicMachine(constraints=constraints, bus_interactions=interactions)
-    optimized, report = optimize_machine(machine, VM_BUS_MAP, degree_bound)
+    bus_ranges = None
+    if opt is not None:
+        bus_ranges = {
+            var_of[key]: rc for key, rc in opt_ranges.items() if key in var_of
+        }
+        # equalities -> keep only those between live vars, as extra
+        # equality constraints the solver turns into substitutions
+        for (ia, ca), (ib, cb) in opt.equalities:
+            va, vb = var_of.get((ia, ca)), var_of.get((ib, cb))
+            if va is not None and vb is not None:
+                machine.constraints.append(
+                    ir.Sub(ir.Var(name=f"{ca}_{ia}", id=va), ir.Var(name=f"{cb}_{ib}", id=vb))
+                )
+    optimized, report = optimize_machine(machine, VM_BUS_MAP, degree_bound, bus_ranges=bus_ranges)
     return VmApc(
         block=block,
         machine=optimized,
         subs=subs,
         report=report,
         name=f"apc_{block.start_pc:#x}",
+        optimistic=opt,
     )
 
 
@@ -194,6 +229,19 @@ def build_chips_with_apcs(
     for apc in apcs:
         occs = find_occurrences(apc.block, result)
         occs = [occ for occ in occs if not any(p in apc_positions for p in occ)]
+        if apc.optimistic is not None:
+            from .machines import registry as _reg
+
+            kept = []
+            for occ in occs:
+                inst_cols = []
+                for pos in occ:
+                    op, k = rec_index[pos]
+                    _, wg = _reg()[op]
+                    inst_cols.append(wg(result.records[op][k]))
+                if apc.optimistic.check_rows(inst_cols):
+                    kept.append(occ)
+            occs = kept
         for occ in occs:
             apc_positions.update(occ)
             for pos in occ:

@@ -71,3 +71,43 @@ def test_cli_pipeline(tmp_path):
         "--artifacts-dir", str(tmp_path / "artifacts"),
     ])
     assert rc == 0
+
+
+def test_empirical_detection(sha_run):
+    from powdr_tpu.vm.empirical import detect
+
+    prog, res = sha_run
+    emp = detect(res, prog)
+    # every executed pc has facts; loop-invariant columns become constants
+    assert len(emp) == len(set(res.pc_trace))
+    some = emp[res.pc_trace[0]]
+    assert some.rows >= 1 and some.ranges
+
+
+def test_optimistic_apc(sha_run):
+    from powdr_tpu.vm.apc import build_apc, build_chips_with_apcs
+    from powdr_tpu.vm.blocks import block_execution_count, detect_basic_blocks, pc_profile
+    from powdr_tpu.vm.empirical import detect
+    from powdr_tpu.vm.system import mock_check
+
+    prog, res = sha_run
+    emp = detect(res, prog)
+    blocks = detect_basic_blocks(prog)
+    prof = pc_profile(res.pc_trace)
+    hot = max(blocks, key=lambda b: block_execution_count(b, prof) * len(b))
+    plain = build_apc(hot)
+    optimistic = build_apc(hot, empirical=emp)
+    # optimistic assumptions must shrink the machine substantially
+    assert optimistic.report.after["columns"] < plain.report.after["columns"] * 0.5
+    assert optimistic.optimistic.constants
+    chips = build_chips_with_apcs(prog, res, [optimistic])
+    mock_check(chips)
+
+
+def test_optimistic_runtime_check_rejects():
+    from powdr_tpu.vm.empirical import OptimisticConstraints
+
+    opt = OptimisticConstraints(constants={(0, "x"): 5}, equalities=[((0, "a"), (1, "b"))])
+    assert opt.check_rows([{"x": 5, "a": 7}, {"b": 7}])
+    assert not opt.check_rows([{"x": 6, "a": 7}, {"b": 7}])
+    assert not opt.check_rows([{"x": 5, "a": 7}, {"b": 8}])
