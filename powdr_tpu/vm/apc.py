@@ -103,6 +103,11 @@ def build_apc(
                 return ir.Neg(remap(e.operand))
             raise TypeError(type(e))
 
+        # pin the instruction's pc: makes branch outcomes at superblock
+        # boundaries circuit-enforced (the reference instead emits runtime
+        # PC-equality optimistic constraints, lib.rs:393-413)
+        fp = builder.cols.index("from_pc")
+        constraints.append(ir.Sub(id_map[fp], ir.Const(block.pcs[i])))
         for c in local_machine.constraints:
             constraints.append(remap(c))
         for b in local_machine.bus_interactions:

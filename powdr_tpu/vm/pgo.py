@@ -36,16 +36,36 @@ def generate_candidates(
     degree_bound: Optional[DegreeBound] = None,
     min_block_len: int = 2,
     min_exec_count: int = 2,
+    superblocks: bool = True,
+    optimistic: bool = False,
+    max_candidates: int = 24,
 ) -> List[Candidate]:
-    profile = pc_profile(result.pc_trace)
-    out = []
-    for block in detect_basic_blocks(program):
-        if len(block) < min_block_len or block.instructions[-1].op == "halt":
-            continue
-        count = block_execution_count(block, profile)
+    """Candidate APCs over basic blocks and (optionally) superblocks;
+    `optimistic=True` detects empirical constraints once and bakes them
+    into every candidate (runtime-checked at occurrence gathering)."""
+    from .apc import find_occurrences
+    from .blocks import detect_superblocks
+
+    emp = None
+    if optimistic:
+        from .empirical import detect
+
+        emp = detect(result, program)
+    blocks = detect_basic_blocks(program)
+    cands_blocks = [b for b in blocks if len(b) >= min_block_len and b.instructions[-1].op != "halt"]
+    if superblocks:
+        cands_blocks += detect_superblocks(program, result.pc_trace, blocks)
+    # rank by a cheap pre-estimate before paying for optimization
+    pre = []
+    for block in cands_blocks:
+        count = len(find_occurrences(block, result))
         if count < min_exec_count:
             continue
-        apc = build_apc(block, degree_bound)
+        pre.append((count * original_cells(block), count, block))
+    pre.sort(key=lambda t: t[0], reverse=True)
+    out = []
+    for _, count, block in pre[:max_candidates]:
+        apc = build_apc(block, degree_bound, empirical=emp)
         width = apc.report.after["columns"]
         saved = count * (original_cells(block) - width)
         if saved <= 0:

@@ -21,14 +21,22 @@ def sha_run():
 
 def test_pgo_candidates(sha_run):
     prog, res = sha_run
-    cands = generate_candidates(prog, res)
+    cands = generate_candidates(prog, res, superblocks=False)
     assert len(cands) >= 3
-    # the 64x round loop must rank first
+    # the 64x round loop must rank first among basic blocks
     assert cands[0].execution_count == 64
     assert cands[0].cells_saved > cands[1].cells_saved
     # the optimizer must shrink every selected block
     for c in cands:
         assert c.apc.report.after["columns"] < c.apc.report.before["columns"]
+
+
+def test_pgo_superblocks_rank_higher(sha_run):
+    prog, res = sha_run
+    plain = generate_candidates(prog, res, superblocks=False)
+    with_sb = generate_candidates(prog, res, superblocks=True)
+    assert with_sb[0].cells_saved >= plain[0].cells_saved
+    assert with_sb[0].apc.block.is_superblock
 
 
 def test_pgo_selection_budget(sha_run):
@@ -43,12 +51,21 @@ def test_pgo_selection_budget(sha_run):
 
 def test_sha256_with_apcs_mock(sha_run):
     prog, res = sha_run
-    cands = generate_candidates(prog, res)
+    cands = generate_candidates(prog, res, superblocks=False)
     apcs = select_apcs(cands, max_apcs=2)
     chips = build_chips_with_apcs(prog, res, apcs)
     names = {c.name for c in chips}
     assert any(n.startswith("apc_") for n in names)
     assert "xor" not in names  # every xor lives inside an APC now
+    mock_check(chips)
+
+
+def test_sha256_superblock_apcs_mock(sha_run):
+    prog, res = sha_run
+    cands = generate_candidates(prog, res, superblocks=True, optimistic=True)
+    apcs = select_apcs(cands, max_apcs=2)
+    chips = build_chips_with_apcs(prog, res, apcs)
+    assert any(c.name.startswith("apc_") for c in chips)
     mock_check(chips)
 
 

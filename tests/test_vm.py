@@ -158,7 +158,7 @@ def test_guest_keccak_with_apc():
     prog, mem, check = keccak_f_guest()
     res = run_native(prog, mem)
     check(res)
-    cands = generate_candidates(prog, res)
+    cands = generate_candidates(prog, res, superblocks=False)
     assert cands and cands[0].execution_count == 24
     assert cands[0].apc.report.after["columns"] < cands[0].apc.report.before["columns"]
     apcs = select_apcs(cands, max_apcs=1)
