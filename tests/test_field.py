@@ -132,3 +132,21 @@ def test_ext_pow_order():
     a = bb.to_mont(jnp.asarray(np.array([[5, 7, 11, 13]], np.uint32)))
     r = np.asarray(bb.from_mont(jax.jit(lambda v: ext.pow_scan(v, P**4 - 1))(a)))
     np.testing.assert_array_equal(r[0], [1, 0, 0, 0])
+
+
+def test_field_registry():
+    """Host field families (the reference number crate's surface)."""
+    from powdr_tpu.field.fields import FIELDS, BABY_BEAR, GOLDILOCKS
+
+    for f in FIELDS.values():
+        # generator really generates: check order divisors for small factors
+        assert f.pow(f.generator, f.p - 1) == 1
+        if f.two_adicity:
+            w = f.root_of_unity(f.two_adicity)
+            assert f.pow(w, 1 << f.two_adicity) == 1
+            assert f.pow(w, 1 << (f.two_adicity - 1)) != 1
+        a, b = 123456789 % f.p, 987654321 % f.p
+        assert f.mul(a, f.inv(a)) == 1
+        assert f.from_bytes_le(f.to_bytes_le(a)) == a
+    assert BABY_BEAR.p == bb.P
+    assert GOLDILOCKS.p == 2**64 - 2**32 + 1

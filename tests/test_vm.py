@@ -167,3 +167,33 @@ def test_guest_keccak_with_apc():
     # every xor/and/add/lw/sw of the round body lives inside the APC
     assert names & {"xor", "and", "lw", "sw"} == set()
     mock_check(chips)
+
+
+def test_device_apc_tracegen_matches_host():
+    """The jitted gather tracegen (CUDA kernel-1 counterpart) must produce
+    the same APC trace as the host gather."""
+    import jax.numpy as jnp
+    from powdr_tpu.vm.apc import apc_chip, build_apc, find_occurrences
+    from powdr_tpu.vm.blocks import block_execution_count, detect_basic_blocks, pc_profile
+    from powdr_tpu.vm.witgen_device import (
+        apc_gather_plan,
+        make_apc_tracegen,
+        opcode_matrices,
+    )
+
+    prog = _loop_program()
+    res = Executor(prog).run()
+    blocks = detect_basic_blocks(prog)
+    prof = pc_profile(res.pc_trace)
+    hot = max(blocks, key=lambda b: block_execution_count(b, prof) * len(b))
+    apc = build_apc(hot)
+    occs = find_occurrences(hot, res)
+    host = apc_chip(apc, occs, res, prog)
+    mats = {op: jnp.asarray(m) for op, m in opcode_matrices(res).items()}
+    plan, names = apc_gather_plan(apc, occs, res, prog)
+    tracegen = make_apc_tracegen(plan, len(names), len(occs))
+    dev = np.asarray(tracegen(mats))
+    for j, name in enumerate(names):
+        np.testing.assert_array_equal(
+            dev[:, j] % (2**31), host.trace[name][: len(occs)].astype(np.uint64) % (2**31), err_msg=name
+        )
