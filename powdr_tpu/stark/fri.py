@@ -14,8 +14,8 @@ with -x = x * w^(n/2) living at index i + n/2.
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -178,10 +178,6 @@ class Executor:
                 next_pc = (a + imm) & MASK32
             else:
                 raise ValueError(f"unknown opcode {op}")
-            # keep python register file in sync for reads
-            if "rd_prev" in rec and ins.rd != 0:
-                pass
-            self.regs = self.regs  # register state lives in self.cells
             records.setdefault(op, []).append(rec)
             pc = next_pc
             ts += TS_DELTA
