@@ -62,6 +62,8 @@ class Air:
     name: str = "air"
     #: canonical (n, wp) fixed columns committed at setup (vk-bound)
     preprocessed: Optional["np.ndarray"] = None
+    #: number of public values the AIR's constraints reference
+    num_publics: int = 0
 
     @property
     def preprocessed_width(self) -> int:
@@ -215,6 +217,8 @@ def _mixed_algebra(
         return ("e", challenges[name])
 
     def public(i):
+        if publics is None:
+            raise KeyError(f"public {i} referenced but no publics provided")
         return ("b", bb.to_mont(jnp.uint32(publics[i])))
 
     return ir.Algebra(

@@ -51,6 +51,7 @@ class Proof:
     chip_widths: List[int]
     chips: List[ChipProof]
     pcs: pcs.PcsOpening
+    publics: Optional[List[List[int]]] = None  # per-chip public values
 
 
 # ---------------------------------------------------------------------------
@@ -148,6 +149,7 @@ def _lde_algebra(
     selectors: Dict[str, jnp.ndarray],
     blowup: int,
     lde_pre: Optional[jnp.ndarray] = None,
+    publics: Optional[Dict[int, int]] = None,
 ) -> ir.Algebra:
     def perm_col(i, r):
         block = lde_perm[:, 4 * i : 4 * i + 4]
@@ -158,6 +160,7 @@ def _lde_algebra(
         perm_col=perm_col,
         challenges=challenges,
         selectors=selectors,
+        publics=publics,
         pre_col=(lambda i, r: _roll_rows(lde_pre[:, i], r, blowup)) if lde_pre is not None else None,
     )
 
@@ -173,6 +176,7 @@ def compute_quotient(
     config: StarkConfig,
     shift_pow: int = 0,
     lde_pre: Optional[jnp.ndarray] = None,
+    publics: Optional[List[int]] = None,
 ) -> jnp.ndarray:
     """Folded-constraint quotient, returned as a (n, 4*blowup) matrix of
     chunk evaluations over H (chunk-major, 4 extension components each).
@@ -187,7 +191,8 @@ def compute_quotient(
     ch_m = {
         k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32))) for k, v in challenges.items()
     }
-    alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup, lde_pre=lde_pre)
+    pub_map = dict(enumerate(publics)) if publics else None
+    alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup, lde_pre=lde_pre, publics=pub_map)
     cache: Dict[int, object] = {}
 
     acc = ext.zero((N,))
@@ -242,16 +247,23 @@ def prove(
     chips: Sequence[Tuple[Air, jnp.ndarray]],
     config: StarkConfig,
     challenger: Challenger,
+    publics: Optional[Sequence[Optional[List[int]]]] = None,
 ) -> Proof:
+    """publics: per-chip lists of canonical public values (bound into the
+    transcript before any commitment round)."""
+    publics = list(publics) if publics is not None else [None] * len(chips)
     log_ns = [int(np.log2(t.shape[0])) for _, t in chips]
     log_n_max = max(log_ns)
     shift_pows = [log_n_max - l for l in log_ns]
 
     challenger.observe(len(chips))
-    for (a, t), ln in zip(chips, log_ns):
+    for (a, t), ln, pub in zip(chips, log_ns, publics):
         assert t.shape[1] == a.width
+        assert a.num_publics == len(pub or [])
         challenger.observe(a.width)
         challenger.observe(ln)
+        for v in pub or []:
+            challenger.observe(v)
 
     # round 0: preprocessed (vk) commitments
     pres: List[Optional[pcs.CommittedMatrix]] = []
@@ -300,8 +312,8 @@ def prove(
 
     # round 3: quotients
     quotients = []
-    for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm in zip(
-        chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows, pres
+    for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm, pub in zip(
+        chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows, pres, publics
     ):
         logup_cons: List[ir.Expr] = []
         challenges: Dict[str, ExtVal] = {}
@@ -319,6 +331,7 @@ def prove(
             config,
             shift_pow=sp,
             lde_pre=pre_cm.lde if pre_cm is not None else None,
+            publics=pub,
         )
         cm = pcs.commit(qm, config, shift_pow=sp)
         quotients.append(cm)
@@ -360,4 +373,5 @@ def prove(
         chip_widths=[a.width for a, _ in chips],
         chips=chip_proofs,
         pcs=opening,
+        publics=publics,
     )

@@ -47,10 +47,14 @@ def verify(
     log_ns = proof.log_n if isinstance(proof.log_n, list) else [proof.log_n] * len(airs)
     log_n_max = max(log_ns)
 
+    publics = proof.publics if proof.publics is not None else [None] * len(airs)
     challenger.observe(len(airs))
-    for a, ln in zip(airs, log_ns):
+    for a, ln, pub in zip(airs, log_ns, publics):
+        assert a.num_publics == len(pub or []), "public count mismatch"
         challenger.observe(a.width)
         challenger.observe(ln)
+        for v in pub or []:
+            challenger.observe(v)
 
     if vk is None:
         from .keys import setup
@@ -128,7 +132,7 @@ def verify(
 
     # per-chip constraint check at zeta
     m_idx = 0
-    for a, cp, groups, ln in zip(airs, proof.chips, groups_per_chip, log_ns):
+    for a, cp, groups, ln, pub in zip(airs, proof.chips, groups_per_chip, log_ns, publics):
         n = 1 << ln
         sel = air_mod.selectors_at_point(zeta, ln)
         z_h = sel["z_h"]
@@ -165,7 +169,10 @@ def verify(
         q_vals = proof.pcs.values[m_idx]
         m_idx += 1
 
-        alg = air_mod.host_algebra(main_at, perm_at, challenges, sel, pre_at=pre_at)
+        pub_map = dict(enumerate(pub)) if pub else None
+        alg = air_mod.host_algebra(
+            main_at, perm_at, challenges, sel, publics=pub_map, pre_at=pre_at
+        )
         cache: Dict[int, object] = {}
         acc: ExtVal = (0, 0, 0, 0)
         apow: ExtVal = (1, 0, 0, 0)

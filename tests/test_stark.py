@@ -150,3 +150,41 @@ def test_mixed_height_imbalance_rejected(rng):
     vch = Challenger()
     with pytest.raises(AssertionError):
         verifier.verify([send_air, recv_air], proof, CFG, vch)
+
+
+def test_public_values_bound(rng):
+    """Public values: the fib output is exposed; the verifier rejects a
+    proof replayed against different publics."""
+    n = 32
+    air, trace = fib_air_and_trace(n)
+    # expose the final col1 value as public 0
+    air = Air(
+        width=2,
+        constraints=air.constraints
+        + [ir.Mul(ir.IsLastRow(), ir.Sub(ir.Col(1), ir.Public(0)))],
+        name="fib-pub",
+        num_publics=1,
+    )
+    fib_out = int(bb.from_mont(trace[n - 1, 1]))
+    proof = prover.prove([(air, trace)], CFG, Challenger(), publics=[[fib_out]])
+    verifier.verify([air], proof, CFG, Challenger())
+    # tampered public value: transcript diverges -> rejection
+    proof.publics = [[(fib_out + 1) % bb.P]]
+    with pytest.raises(AssertionError):
+        verifier.verify([air], proof, CFG, Challenger())
+
+
+def test_proof_serialization_roundtrip(rng):
+    from powdr_tpu.stark.serialize import proof_from_bytes, proof_to_bytes
+
+    n = 32
+    air, trace = fib_air_and_trace(n)
+    proof = prover.prove([(air, trace)], CFG, Challenger())
+    blob = proof_to_bytes(proof)
+    assert isinstance(blob, bytes) and len(blob) > 0
+    back = proof_from_bytes(blob)
+    verifier.verify([air], back, CFG, Challenger())
+    # tampering a value in the deserialized proof must fail verification
+    back.chips[0].logup_total = (1, 2, 3, 4)
+    with pytest.raises(AssertionError):
+        verifier.verify([air], back, CFG, Challenger())
