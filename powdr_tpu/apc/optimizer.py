@@ -301,6 +301,29 @@ def exhaustive_search_pass(state: OptimizerState) -> None:
     remove_trivial(state)
 
 
+def low_degree_bus_opt(state: OptimizerState, bus_map, bound: DegreeBound) -> None:
+    """Replace cheap stateless lookups by algebraic constraints
+    (low_degree_bus_interaction_optimizer.rs:19-31): a range check
+    (x, bits) with 2^bits + deg(mult) + deg(x) <= identity bound becomes
+    mult * x * (x-1) * ... * (x-2^bits+1) = 0."""
+    keep = []
+    for b in state.system.bus_interactions:
+        btype = bus_map.bus_ids.get(b.id) if bus_map else None
+        if btype == "VariableRangeChecker" and len(b.args) == 2:
+            bits = b.args[1].try_to_constant()
+            x = b.args[0]
+            if bits is not None and bits <= 2:
+                deg = (1 << bits) * max(x.degree(), 1) + b.mult.degree()
+                if deg <= bound.identities:
+                    prod = b.mult
+                    for v in range(1 << bits):
+                        prod = prod * (x - GE.from_const(v))
+                    state.system.constraints.append(prod.normalized())
+                    continue
+        keep.append(b)
+    state.system.bus_interactions = keep
+
+
 def cancel_bus_interactions(state: OptimizerState) -> None:
     """Sum multiplicities of interactions with identical (bus, args);
     drop zero-mult interactions."""
@@ -384,6 +407,8 @@ def optimize_machine(
     ]
     if memory_bus_id is not None:
         passes.append(("memory", lambda s: optimize_memory(s, memory_bus_id)))
+    if bus_map is not None:
+        passes.append(("low_degree_bus", lambda s: low_degree_bus_opt(s, bus_map, bound)))
     passes += [
         ("free_vars", lambda s: remove_free_vars(s, bus_map)),
         ("inline", lambda s: inline_affine(s, bound)),

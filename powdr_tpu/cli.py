@@ -43,6 +43,7 @@ def _guest(name: str):
         return prog, {}, lambda res: None
     fn = {
         "sha256": guests.sha256_guest,
+        "keccak": guests.keccak_f_guest,
         "matmul": guests.matmul_guest,
         "u256_add": guests.u256_add_guest,
     }[name]
@@ -103,12 +104,15 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
     from .vm.pgo import generate_candidates, select_apcs
 
     key = cache.key(
-        "select-apcs", guest=args.guest, program=_program_hash(program), apcs=args.apcs
+        "select-apcs", guest=args.guest, program=_program_hash(program), apcs=args.apcs,
+        superblocks=args.superblocks, optimistic=args.optimistic,
     )
     apcs = cache.load("select-apcs", key)
     if apcs is None or args.no_cache:
         t0 = time.time()
-        cands = generate_candidates(program, result)
+        cands = generate_candidates(
+            program, result, superblocks=args.superblocks, optimistic=args.optimistic
+        )
         apcs = select_apcs(cands, max_apcs=args.apcs)
         for c in cands[: args.apcs]:
             r = c.apc.report
@@ -177,6 +181,11 @@ def main(argv=None):
     ap.add_argument("--artifacts-dir", default=".powdr_artifacts")
     ap.add_argument("--metrics-json", default=None)
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--superblocks", action="store_true",
+                    help="mine multi-block APC candidates")
+    ap.add_argument("--optimistic", action="store_true",
+                    help="bake empirically-observed constraints into APCs "
+                         "(runtime-checked per occurrence)")
     ap.add_argument(
         "--small-tables",
         action="store_true",

@@ -22,17 +22,25 @@ class MerkleTree:
     """layers[0] = leaf digests (n, 8); layers[-1] = root (1, 8)."""
 
     layers: List[jnp.ndarray]
+    _host: "List[np.ndarray] | None" = None
 
     @property
     def root(self) -> jnp.ndarray:
         return self.layers[-1][0]
 
+    def host_layers(self) -> List[np.ndarray]:
+        """Bulk device->host transfer, cached — per-element fetches cost a
+        full round trip each on tunneled backends."""
+        if self._host is None:
+            self._host = [np.asarray(l) for l in self.layers]
+        return self._host
+
     def open(self, index: int) -> np.ndarray:
         """Sibling path for a leaf, shape (depth, 8) (host-side)."""
         sibs = []
         idx = index
-        for layer in self.layers[:-1]:
-            sibs.append(np.asarray(layer[idx ^ 1]))
+        for layer in self.host_layers()[:-1]:
+            sibs.append(layer[idx ^ 1])
             idx >>= 1
         return np.array(sibs, dtype=np.uint32).reshape(-1, p2.DIGEST)
 

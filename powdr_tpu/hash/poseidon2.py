@@ -168,6 +168,24 @@ def permute_jit(state: jnp.ndarray) -> jnp.ndarray:
     return permute(state)
 
 
+@functools.lru_cache(maxsize=None)
+def _cpu_permute():
+    """Challenger/verifier permute pinned to a host CPU device when one
+    exists — transcript traffic is tiny and per-call round trips to a
+    tunneled accelerator dominate otherwise."""
+    import jax as _jax
+
+    try:
+        cpu = _jax.devices("cpu")[0]
+        return _jax.jit(permute, device=cpu)
+    except RuntimeError:
+        return permute_jit
+
+
+def permute_host(state: jnp.ndarray) -> jnp.ndarray:
+    return _cpu_permute()(state)
+
+
 @jax.jit
 def hash_rows(matrix: jnp.ndarray) -> jnp.ndarray:
     """Sponge-hash each row of (n, w) -> digests (n, 8).

@@ -66,7 +66,7 @@ class Challenger:
         mont = bb.np_to_mont(np.array(buf, dtype=np.uint32)) if buf else np.zeros(0, np.uint32)
         st = self._state.copy()
         st[: len(mont)] = mont  # overwrite-rate duplex
-        st = np.asarray(p2.permute_jit(jnp.asarray(st[None, :])))[0]
+        st = np.asarray(p2.permute_host(jnp.asarray(st[None, :])))[0]
         self._state = st
         self._output = list(bb.np_from_mont(st[: p2.RATE]))
 
@@ -88,7 +88,7 @@ class Challenger:
             cols = bb.np_to_mont(np.array(buf + [0], dtype=np.uint32))
             states[:, : len(buf)] = cols[:-1]
             states[:, len(buf)] = bb.np_to_mont(cand)
-            out = np.asarray(p2.permute_jit(jnp.asarray(states)))
+            out = np.asarray(p2.permute_host(jnp.asarray(states)))
             samples = bb.np_from_mont(out[:, p2.RATE - 1])
             hits = np.nonzero((samples & mask) == 0)[0]
             if hits.size:
