@@ -8,9 +8,12 @@ embarrassingly parallel across chips; only the top log2(num_chips) levels
 need gathered digests (see powdr_tpu.parallel)."""
 from __future__ import annotations
 
+import functools
+
 from dataclasses import dataclass
 from typing import List
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -53,16 +56,23 @@ def root_only(leaf_digests: jnp.ndarray) -> jnp.ndarray:
     return cur[0]
 
 
-def build(leaf_digests: jnp.ndarray) -> MerkleTree:
-    """leaf_digests: (n, 8) with n a power of two."""
-    n = leaf_digests.shape[0]
-    assert n & (n - 1) == 0, "leaf count must be a power of two"
+@functools.partial(jax.jit, static_argnums=())
+def _build_layers(leaf_digests: jnp.ndarray):
+    """All tree levels in one jitted dispatch (per-level eager calls cost
+    a round trip each on tunneled backends)."""
     layers = [leaf_digests]
     cur = leaf_digests
     while cur.shape[0] > 1:
         cur = p2.compress(cur[0::2], cur[1::2])
         layers.append(cur)
-    return MerkleTree(layers)
+    return tuple(layers)
+
+
+def build(leaf_digests: jnp.ndarray) -> MerkleTree:
+    """leaf_digests: (n, 8) with n a power of two."""
+    n = leaf_digests.shape[0]
+    assert n & (n - 1) == 0, "leaf count must be a power of two"
+    return MerkleTree(list(_build_layers(leaf_digests)))
 
 
 def verify_path(root: np.ndarray, index: int, leaf_digest: np.ndarray, path: np.ndarray) -> bool:

@@ -182,29 +182,62 @@ def compute_quotient(
     chunk evaluations over H (chunk-major, 4 extension components each).
 
     shift_pow: the chip's join depth in the mixed-height batch — its LDE
-    coset is shift^(2^shift_pow) * K."""
+    coset is shift^(2^shift_pow) * K.
+
+    On accelerator backends the whole computation runs as ONE jitted
+    dispatch (cached on the Air object) — per-op round trips through a
+    tunneled chip dominate otherwise; on CPU it stays eager (compiling
+    each air's full constraint graph would slow the test suite)."""
+    args = (lde_main, lde_perm, lde_pre)
+    ch_m = {
+        k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32))) for k, v in challenges.items()
+    }
+    aq_m = bb.to_mont(jnp.asarray(np.array(alpha_q, dtype=np.uint32)))
+
+    import jax as _jax
+
+    use_jit = _jax.devices()[0].platform != "cpu"
+    if use_jit:
+        key = (log_n, config, shift_pow, tuple(publics) if publics else None)
+        cache_attr = getattr(air, "_quotient_jit", None)
+        if cache_attr is None or cache_attr[0] != key:
+            fn = _jax.jit(
+                functools.partial(
+                    _quotient_core, air, tuple(logup_cons), log_n, config, shift_pow,
+                    tuple(publics) if publics else None,
+                )
+            )
+            air._quotient_jit = (key, fn)
+        return air._quotient_jit[1](lde_main, lde_perm, lde_pre, ch_m, aq_m)
+    return _quotient_core(
+        air, tuple(logup_cons), log_n, config, shift_pow,
+        tuple(publics) if publics else None,
+        lde_main, lde_perm, lde_pre, ch_m, aq_m,
+    )
+
+
+def _quotient_core(
+    air, logup_cons, log_n, config, shift_pow, publics,
+    lde_main, lde_perm, lde_pre, ch_m, alpha_q_m,
+):
     n = 1 << log_n
     blowup = config.blowup
     N = n * blowup
     chip_shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
     sel = air_mod.lde_selectors(log_n, config.log_blowup, chip_shift)
-    ch_m = {
-        k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32))) for k, v in challenges.items()
-    }
     pub_map = dict(enumerate(publics)) if publics else None
     alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup, lde_pre=lde_pre, publics=pub_map)
     cache: Dict[int, object] = {}
 
     acc = ext.zero((N,))
-    apow: ExtVal = (1, 0, 0, 0)
-    for con in list(air.constraints) + logup_cons:
+    apow = jnp.zeros(4, dtype=jnp.uint32).at[0].set(bb.R_MOD_P)  # ext one
+    for con in list(air.constraints) + list(logup_cons):
         tag, arr = ir.evaluate(con, alg, cache)
-        a_m = bb.to_mont(jnp.asarray(np.array(apow, dtype=np.uint32)))
         if tag == "b":
-            acc = ext.add(acc, ext.mul_base(jnp.broadcast_to(a_m, (N, 4)), arr))
+            acc = ext.add(acc, ext.mul_base(jnp.broadcast_to(apow, (N, 4)), arr))
         else:
-            acc = ext.add(acc, ext.mul(jnp.broadcast_to(a_m, (N, 4)), arr))
-        apow = py_ext_pow_mul(apow, alpha_q)
+            acc = ext.add(acc, ext.mul(jnp.broadcast_to(apow, (N, 4)), arr))
+        apow = ext.mul(apow, alpha_q_m)
 
     # divide by Z_H pointwise: Z_H has `blowup` distinct values on the coset
     zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, chip_shift)["z_h"]
