@@ -87,7 +87,31 @@ def build_perm_trace(
     pre_trace: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, ExtVal]:
     """Compute [h_0..h_{G-1}, s] as a (n, 4*(G+1)) base matrix plus the
-    chip's cumulative LogUp total."""
+    chip's cumulative LogUp total.
+
+    One jitted dispatch per chip on accelerator backends (cached on the
+    Air), eager on CPU — same rationale as compute_quotient."""
+    alpha_arr = bb.to_mont(jnp.asarray(np.array(alpha, dtype=np.uint32)))
+    beta_arr = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
+    import jax as _jax
+
+    if _jax.devices()[0].platform != "cpu":
+        key = tuple(tuple(g) for g in groups)
+        cached = getattr(air, "_perm_jit", None)
+        if cached is None or cached[0] != key:
+            fn = _jax.jit(
+                functools.partial(_perm_core, air, key)
+            )
+            air._perm_jit = (key, fn)
+        perm, s_last = air._perm_jit[1](trace, alpha_arr, beta_arr, pre_trace)
+        total = tuple(int(v) for v in np.asarray(bb.from_mont(s_last)))
+        return perm, total
+    perm, s_last = _perm_core(air, tuple(tuple(g) for g in groups), trace, alpha_arr, beta_arr, pre_trace)
+    total = tuple(int(v) for v in np.asarray(bb.from_mont(s_last)))
+    return perm, total
+
+
+def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
     n = trace.shape[0]
     log_n = int(np.log2(n))
     sel = _trace_selectors(log_n)
@@ -104,9 +128,6 @@ def build_perm_trace(
         tag, arr = ir.evaluate(e, alg, cache)
         assert tag == "b", "interaction exprs must be base-field"
         return arr
-
-    alpha_m = bb.to_mont(jnp.asarray(np.array(alpha, dtype=np.uint32)))
-    beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
 
     h_cols: List[jnp.ndarray] = []
     for group in groups:
@@ -131,11 +152,10 @@ def build_perm_trace(
         h_tot = ext.add(h_tot, h)
     s_incl = jax.lax.associative_scan(bb.add, h_tot, axis=0)
     s_excl = ext.sub(s_incl, h_tot)
-    total = tuple(int(v) for v in np.asarray(bb.from_mont(s_incl[-1])))
 
     cols = h_cols + [s_excl]
     perm = jnp.concatenate([c.reshape(n, 4) for c in cols], axis=1)
-    return perm, total
+    return perm, s_incl[-1]
 
 
 # ---------------------------------------------------------------------------
