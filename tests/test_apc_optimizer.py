@@ -55,3 +55,29 @@ def test_optimize_single_div():
     # every eliminated column is recorded as derived for witgen
     eliminated = report.before["columns"] - report.after["columns"]
     assert len(out.derived_columns) >= eliminated
+
+
+def test_range_check_dedup():
+    """range_constraint_optimizer subset: duplicate/implied/constant
+    range checks get dropped."""
+    from powdr_tpu.apc.optimizer import OptimizerState, range_check_opt
+    from powdr_tpu.apc.symbolic_machine import BusMap
+    from powdr_tpu.solver.constraint_system import BusInteractionGE, ConstraintSystemGE
+    from powdr_tpu.solver.grouped_expression import GroupedExpression as GE
+
+    bm = BusMap({3: "VariableRangeChecker"})
+    x = GE.from_var(0)
+    one = GE.from_const(1)
+    sys_ = ConstraintSystemGE(
+        bus_interactions=[
+            BusInteractionGE(id=3, mult=one, args=[x, GE.from_const(8)]),
+            BusInteractionGE(id=3, mult=one, args=[x, GE.from_const(16)]),  # looser
+            BusInteractionGE(id=3, mult=one, args=[GE.from_const(5), GE.from_const(8)]),  # static
+            BusInteractionGE(id=3, mult=one, args=[GE.from_var(1), GE.from_const(4)]),  # kept
+        ]
+    )
+    state = OptimizerState(system=sys_, names={})
+    range_check_opt(state, bm)
+    assert len(sys_.bus_interactions) == 2
+    kept_bits = sorted(int(b.args[1].try_to_constant()) for b in sys_.bus_interactions)
+    assert kept_bits == [4, 8]
