@@ -32,10 +32,18 @@ class MerkleTree:
         return self.layers[-1][0]
 
     def host_layers(self) -> List[np.ndarray]:
-        """Bulk device->host transfer, cached — per-element fetches cost a
-        full round trip each on tunneled backends."""
+        """Bulk device->host transfer, cached.  All layers are packed into
+        one device array first so the tunnel pays a single fetch (layer-
+        by-layer fetches cost a round trip each)."""
         if self._host is None:
-            self._host = [np.asarray(l) for l in self.layers]
+            packed = np.asarray(jnp.concatenate(self.layers, axis=0))
+            out = []
+            off = 0
+            for l in self.layers:
+                n = l.shape[0]
+                out.append(packed[off : off + n])
+                off += n
+            self._host = out
         return self._host
 
     def open(self, index: int) -> np.ndarray:

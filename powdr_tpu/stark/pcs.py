@@ -132,18 +132,33 @@ def _eval_matrix_at(evals: jnp.ndarray, z_m: jnp.ndarray, scalar_m: jnp.ndarray,
     return jnp.stack(comps, axis=-1)
 
 
-def eval_at_point(mat: CommittedMatrix, z: ExtVal) -> np.ndarray:
-    """Claimed evaluations p_j(z), canonical (w, 4)."""
+@jax.jit
+def _eval_matrix_at_many(evals, z_ms, s_ms, pts):
+    """Batched barycentric over points: z_ms/s_ms (P, 4) -> (P, w, 4)."""
+    return jax.vmap(lambda z, s: _eval_matrix_at(evals, z, s, pts))(z_ms, s_ms)
+
+
+def eval_at_points(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> List[np.ndarray]:
+    """Claimed evaluations p_j(z) for each z, canonical (w, 4) each — one
+    device dispatch + one fetch for all points of the matrix."""
     n = mat.n
     log_n = int(np.log2(n))
-    zn = py_ext_pow(z, n)
-    scalar = py_ext_sub(zn, (1, 0, 0, 0))
     n_inv = pow(n, bb.P - 2, bb.P)
-    scalar = tuple(v * n_inv % bb.P for v in scalar)
-    z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
-    s_m = bb.to_mont(jnp.asarray(np.array(scalar, dtype=np.uint32)))
+    scalars = []
+    for z in zs:
+        zn = py_ext_pow(z, n)
+        scalar = py_ext_sub(zn, (1, 0, 0, 0))
+        scalars.append(tuple(v * n_inv % bb.P for v in scalar))
+    z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
+    s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
     pts = jnp.asarray(_subgroup_points(log_n))
-    return np.asarray(bb.from_mont(_eval_matrix_at(mat.evals, z_m, s_m, pts)))
+    out = np.asarray(bb.from_mont(_eval_matrix_at_many(mat.evals, z_ms, s_ms, pts)))
+    return [out[i] for i in range(len(zs))]
+
+
+def eval_at_point(mat: CommittedMatrix, z: ExtVal) -> np.ndarray:
+    """Claimed evaluations p_j(z), canonical (w, 4)."""
+    return eval_at_points(mat, [z])[0]
 
 
 # -- reduced codeword ---------------------------------------------------------
@@ -212,7 +227,7 @@ def open_matrices(
     # claimed evaluations -> transcript
     values: List[List[np.ndarray]] = []
     for mat, zs in zip(mats, points):
-        vals = [eval_at_point(mat, z) for z in zs]
+        vals = eval_at_points(mat, list(zs))
         values.append(vals)
         for v in vals:
             for row in v:
