@@ -91,11 +91,19 @@ def _lde_matrix(evals: jnp.ndarray, log_blowup: int, shift: int) -> jnp.ndarray:
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _commit_impl(evals: jnp.ndarray, log_blowup: int, shift: int):
+    """LDE + leaf hashing + every tree level in ONE dispatch."""
+    lde = _lde_matrix.__wrapped__(evals, log_blowup, shift)
+    layers = merkle._build_layers.__wrapped__(p2.hash_rows(lde))
+    return lde, layers
+
+
 def commit(evals: jnp.ndarray, config: StarkConfig, shift_pow: int = 0) -> CommittedMatrix:
     """Commit to a matrix of column polynomials given by their evals on H."""
     shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
-    lde = _lde_matrix(evals, config.log_blowup, shift)
-    tree = merkle.build(p2.hash_rows(lde))
+    lde, layers = _commit_impl(evals, config.log_blowup, shift)
+    tree = merkle.MerkleTree(list(layers))
     return CommittedMatrix(
         evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root), shift_pow=shift_pow
     )
