@@ -124,6 +124,14 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
             )
         print(f"selected {len(apcs)} APCs in {time.time()-t0:.2f}s")
         cache.store("select-apcs", key, apcs)
+        if args.apc_export_dir:
+            from .vm.apc import export_apc
+
+            os.makedirs(args.apc_export_dir, exist_ok=True)
+            for a in apcs:
+                path = os.path.join(args.apc_export_dir, f"{a.name}.json.gz")
+                export_apc(a, path)
+                print(f"  exported {path}")
     else:
         print(f"select-apcs: cache hit ({len(apcs)} APCs)")
     return apcs
@@ -181,6 +189,9 @@ def main(argv=None):
     ap.add_argument("--artifacts-dir", default=".powdr_artifacts")
     ap.add_argument("--metrics-json", default=None)
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--apc-export-dir", default=None,
+                    help="export selected APCs as ApcWithBusMap JSON "
+                         "(the reference analyzer's format)")
     ap.add_argument("--superblocks", action="store_true",
                     help="mine multi-block APC candidates")
     ap.add_argument("--optimistic", action="store_true",

@@ -143,6 +143,45 @@ def build_apc(
     )
 
 
+def export_apc(apc: VmApc, path: str) -> None:
+    """Write the APC in the reference's ApcWithBusMap JSON format
+    (the candidates export consumed by the reference's analyzer,
+    autoprecompiles/src/pgo/cell/mod.rs:34-52 / export.rs) — also loadable
+    back through powdr_tpu.apc.symbolic_machine.load_apc."""
+    from ..apc.symbolic_machine import Apc, save_apc
+
+    block_json = {
+        "blocks": [
+            {
+                "start_pc": apc.block.start_pc,
+                "instructions": [
+                    [OPCODE_ID[i.op], i.rd, i.rs1, i.rs2, i.imm % (1 << 32)]
+                    for i in apc.block.instructions
+                ],
+            }
+        ]
+    }
+    subs_json = [
+        [
+            {"original_poly_index": v, "apc_poly_id": v}
+            for v in sorted(apc.machine.main_columns())
+        ]
+    ]
+    save_apc(
+        Apc(
+            block=block_json,
+            machine=apc.machine,
+            subs=subs_json,
+            optimistic_constraints={
+                "fetches_by_step": {},
+                "constraints_to_check_by_step": {},
+            },
+            bus_map=VM_BUS_MAP,
+        ),
+        path,
+    )
+
+
 # -- occurrence finding -------------------------------------------------------
 
 

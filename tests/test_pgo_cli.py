@@ -128,3 +128,18 @@ def test_optimistic_runtime_check_rejects():
     assert opt.check_rows([{"x": 5, "a": 7}, {"b": 7}])
     assert not opt.check_rows([{"x": 6, "a": 7}, {"b": 7}])
     assert not opt.check_rows([{"x": 5, "a": 7}, {"b": 8}])
+
+
+def test_apc_export_roundtrip(tmp_path, sha_run):
+    """APCs export in the reference's ApcWithBusMap format and load back."""
+    from powdr_tpu.apc.symbolic_machine import load_apc
+    from powdr_tpu.vm.apc import export_apc
+
+    prog, res = sha_run
+    cands = generate_candidates(prog, res, superblocks=False)
+    apc = cands[0].apc
+    path = str(tmp_path / "apc.json.gz")
+    export_apc(apc, path)
+    back = load_apc(path)
+    assert back.machine.stats() == apc.machine.stats()
+    assert back.bus_map is not None
