@@ -33,6 +33,89 @@ class _Access:
     offset: int
     ts_base_key: Optional[tuple]  # timestamp base (None for receive prev-ts var)
     ts_offset: Optional[int]
+    canon: Optional[GE] = None  # address over shared vars + carry pseudo-vars
+
+
+class _AddrCanon:
+    """Rewrites addresses over per-access private limbs into canonical
+    form over shared variables plus boolean carry pseudo-variables.
+
+    Each load/store instance decomposes its pointer into private limbs
+    via carry constraints F*(F-1)=0 with F affine (F is the carry).
+    Solving F = u for the limb (u a fresh pseudo-variable in {0,1},
+    one per carry constraint) expresses the address over the shared
+    register limbs plus the carries.  Two canonical addresses whose
+    difference has no real variables and whose pseudo-variable
+    combinations never sum to zero are provably different — the
+    aliasing test the reference gets from its solver's
+    `are_expressions_known_to_be_different`
+    (constraint-solver/src/solver/base.rs:243-262)."""
+
+    _PSEUDO_BASE = -1_000_000
+
+    def __init__(self, constraints):
+        from ..apc.optimizer import bool_square_form
+
+        # var -> (defining F, pseudo id); only private limbs (vars in at
+        # most 2 algebraic constraints — shared register limbs appear in
+        # many) get definitions, and the F with fewest vars (the
+        # low-carry constraint) wins so substitution chains terminate
+        counts: dict = {}
+        for c in constraints:
+            for v in c.variables():
+                counts[v] = counts.get(v, 0) + 1
+        self.defs = {}
+        for ci, c in enumerate(constraints):
+            f = bool_square_form(c)
+            if f is None:
+                continue
+            pid = self._PSEUDO_BASE - ci
+            for v in f.linear:
+                if counts.get(v, 0) > 2:
+                    continue
+                prev = self.defs.get(v)
+                if prev is None or len(f.linear) < len(prev[0].linear):
+                    self.defs[v] = (f, pid)
+
+    def canon(self, expr: GE) -> Optional[GE]:
+        if not expr.is_affine():
+            return None
+        cur = expr
+        for _ in range(8):  # chain: high limb -> low limb -> shared
+            target = None
+            for v in cur.linear:
+                if v >= 0 and v in self.defs:
+                    target = v
+                    break
+            if target is None:
+                return cur
+            f, pid = self.defs[target]
+            # F = u  =>  limb = solve_for(target) of (F - u)
+            repl = (f - GE.from_var(pid)).solve_for(target)
+            if repl is None:
+                return None
+            coeff = cur.linear[target]
+            cur = GE(
+                linear={u: c for u, c in cur.linear.items() if u != target},
+                constant=cur.constant,
+            ) + repl.scale(coeff)
+        return None  # substitution chain too deep (cycle guard)
+
+    @staticmethod
+    def provably_different(a: GE, b: GE) -> bool:
+        """True if a - b has only pseudo-vars and no {0,1} assignment
+        of them makes the difference zero mod P."""
+        d = (a - b).normalized()
+        real = [v for v in d.linear if v >= 0]
+        if real:
+            return False
+        pseudos = list(d.linear.items())
+        if len(pseudos) > 6:
+            return False
+        sums = {d.constant % P}
+        for _, c in pseudos:
+            sums = {s % P for s in sums} | {(s + c) % P for s in sums}
+        return 0 not in sums
 
 
 def _addr_parts(ptr: GE) -> Tuple[tuple, int]:
@@ -50,6 +133,7 @@ def _ts_parts(ts: GE) -> Optional[Tuple[tuple, int]]:
 def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
     sys = state.system
     idx_sys = IndexedSystem(sys)
+    canoniser = _AddrCanon(sys.constraints)
 
     def parse(i) -> Optional[_Access]:
         b = sys.bus_interactions[i]
@@ -63,7 +147,8 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
             # unknown address space: representable, but acts as a universal
             # aliasing barrier (space = -1 never equals a constant space)
             space = -1
-        base_key, off = _addr_parts(b.args[1].normalized())
+        addr = b.args[1].normalized()
+        base_key, off = _addr_parts(addr)
         tp = _ts_parts(b.args[-1])
         return _Access(
             slot=i,
@@ -74,7 +159,26 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
             offset=off,
             ts_base_key=tp[0] if tp else None,
             ts_offset=tp[1] if tp else None,
+            canon=canoniser.canon(addr),
         )
+
+    def same_addr(a: _Access, b: _Access) -> bool:
+        if a.space != b.space:
+            return False
+        if a.base_key == b.base_key and a.offset == b.offset:
+            return True
+        if a.canon is not None and b.canon is not None:
+            return (a.canon - b.canon).normalized().is_zero()
+        return False
+
+    def provably_distinct(a: _Access, b: _Access) -> bool:
+        if a.space != b.space and a.space != -1 and b.space != -1:
+            return True
+        if a.space == b.space and a.base_key == b.base_key and a.offset != b.offset:
+            return True
+        if a.canon is not None and b.canon is not None:
+            return _AddrCanon.provably_different(a.canon, b.canon)
+        return False
 
     mem_slots = [i for i, b in enumerate(sys.bus_interactions) if b.id == memory_bus_id]
     drop = set()
@@ -106,10 +210,7 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
                 r = accesses[ri]
                 if ri in cancelled_this_round:
                     continue
-                same_addr = (
-                    r.space == s.space and r.base_key == s.base_key and r.offset == s.offset
-                )
-                if same_addr:
+                if same_addr(s, r):
                     if r.sign != -1 or r.guard_key != s.guard_key:
                         break
                     # check intervening accesses can't alias
@@ -118,13 +219,7 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
                         m = accesses[mi]
                         if mi in cancelled_this_round:
                             continue
-                        if m.space != s.space and m.space != -1 and s.space != -1:
-                            continue
-                        if (
-                            m.space == s.space
-                            and m.base_key == s.base_key
-                            and m.offset != s.offset
-                        ):
+                        if provably_distinct(m, s):
                             continue
                         blocked = True
                         break
@@ -147,9 +242,7 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
                         changed = True
                     break
                 # different address with unknown relation -> barrier
-                if (r.space == s.space or r.space == -1 or s.space == -1) and (
-                    r.base_key != s.base_key
-                ):
+                if not provably_distinct(s, r):
                     break
     if drop:
         sys.bus_interactions = [b for i, b in enumerate(sys.bus_interactions) if i not in drop]

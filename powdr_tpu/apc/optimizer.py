@@ -109,9 +109,18 @@ def solver_pass(state: OptimizerState) -> None:
 
 
 def remove_trivial(state: OptimizerState) -> None:
-    state.system.constraints = [
-        c for c in (c.normalized() for c in state.system.constraints) if not c.is_zero()
-    ]
+    """Drop zero constraints and exact duplicates (same canonical key)."""
+    seen = set()
+    out = []
+    for c in (c.normalized() for c in state.system.constraints):
+        if c.is_zero():
+            continue
+        k = c.key()
+        if k in seen:
+            continue
+        seen.add(k)
+        out.append(c)
+    state.system.constraints = out
 
 
 def _occurrence_counts(system: ConstraintSystemGE):
@@ -208,6 +217,83 @@ def remove_free_vars(state: OptimizerState, bus_map=None) -> None:
             state.system.bus_interactions = [
                 b for i, b in enumerate(state.system.bus_interactions) if i not in drop_b
             ]
+
+
+def remove_lookup_residues(state: OptimizerState, bus_map) -> None:
+    """Remove vars whose ONLY occurrences are unguarded range checks on
+    single-variable affine payloads, when the checks are jointly
+    satisfiable (a value for the var exists).
+
+    This is the tail of a timestamp less-than proof after memory pair
+    cancellation (memory_optimizer.rs + range_constraint_optimizer.rs in
+    the reference): the diff is constant, leaving `C - 2^17*hi in
+    [0,2^17)` and `hi in [0,2^12)` over an otherwise-unused hi — both
+    checks and the column disappear, with the witness value recorded as
+    a derived column."""
+    import numpy as np
+
+    range_ids = {
+        bid for bid, t in (bus_map.bus_ids.items() if bus_map else [])
+        if t == "VariableRangeChecker"
+    }
+    if not range_ids:
+        return
+    # var -> list of (slot, a, b, bits) | None if disqualified
+    cand: Dict[int, Optional[List[Tuple[int, int, int, int]]]] = {}
+    for c in state.system.constraints:
+        for v in c.variables():
+            cand[v] = None
+    for i, b in enumerate(state.system.bus_interactions):
+        vs = set()
+        for e in b.exprs():
+            vs |= e.variables()
+        ok = (
+            b.id in range_ids
+            and len(b.args) == 2
+            and b.mult.try_to_constant() == 1
+            and b.args[0].is_affine()
+            and len(b.args[0].linear) == 1
+            and b.args[1].try_to_constant() is not None
+        )
+        if ok:
+            ((v, a),) = b.args[0].linear.items()
+            bits = b.args[1].try_to_constant()
+            if bits > 20:
+                ok = False
+            else:
+                for u in vs:
+                    if u != v:
+                        cand[u] = None
+                if cand.get(v, []) is not None:
+                    cand.setdefault(v, []).append((i, a, b.args[0].constant, bits))
+                continue
+        if not ok:
+            for u in vs:
+                cand[u] = None
+    drop: Set[int] = set()
+    for v, checks in cand.items():
+        if not checks:
+            continue
+        # enumerate the smallest check's solution set, filter by the rest
+        checks = sorted(checks, key=lambda t: t[3])
+        _, a0, b0, bits0 = checks[0]
+        if bits0 > 14:
+            continue
+        inv_a0 = pow(a0, P - 2, P)
+        xs = np.arange(1 << bits0, dtype=np.int64)
+        vs_ = (xs - b0) % P * inv_a0 % P
+        ok_mask = np.ones(vs_.shape, dtype=bool)
+        for _, a, b_, bits in checks[1:]:
+            ok_mask &= ((vs_ * a + b_) % P) < (1 << bits)
+        idx = np.nonzero(ok_mask)[0]
+        if idx.size == 0:
+            continue  # unsatisfiable residue: leave for the solver to flag
+        state.derived.append((v, GE.from_const(int(vs_[idx[0]]))))
+        drop |= {slot for slot, *_ in checks}
+    if drop:
+        state.system.bus_interactions = [
+            b for i, b in enumerate(state.system.bus_interactions) if i not in drop
+        ]
 
 
 def remove_disconnected(state: OptimizerState) -> None:
@@ -363,6 +449,196 @@ def range_check_opt(state: OptimizerState, bus_map) -> None:
         ]
 
 
+def _signed(c: int) -> int:
+    c %= P
+    return c if c <= P // 2 else c - P
+
+
+def _residue_reachable(lo: int, hi: int, t: int) -> bool:
+    """Is there an integer x in [lo, hi] with x === t (mod P)?"""
+    t %= P
+    # smallest representative of t's class that is >= lo
+    x = t + ((lo - t + P - 1) // P) * P
+    return x <= hi
+
+
+def affine_value_excluded(
+    D: GE,
+    targets,
+    ranges: Dict[int, RangeConstraint],
+    scaled_checks: Optional[Dict[int, Tuple[int, int, int]]] = None,
+) -> bool:
+    """Certify (by signed-interval analysis over the variables' known
+    ranges, trying rescalings of D by inverses of its coefficients) that
+    the affine expression D can take NONE of `targets` (mod P).
+
+    The rescaling matters: a difference like 30720*(a - b) with 16-bit
+    a, b overflows the field as an interval, but divided by 30720 it is
+    a - b in (-2^16, 2^16), which excludes +-2^16 exactly.
+
+    Variables without a direct range but covered by a range check on a
+    scaled expression (`scaled_checks[v] = (a, b, bits)` meaning
+    a*v + b is checked to `bits` bits — OpenVM checks mem_ptr_limbs/4,
+    for example) are rewritten onto the checked expression first."""
+    if not D.is_affine() or not D.linear:
+        return False
+    # rewrite vars lacking ranges through their scaled range checks
+    lin: Dict[int, int] = {}
+    local_ranges = dict(ranges)
+    const = D.constant
+    pseudo = -1
+    for v, c in D.linear.items():
+        rc = ranges.get(v)
+        if rc is not None and not rc.is_wrapping():
+            lin[v] = (lin.get(v, 0) + c) % P
+            continue
+        sc = (scaled_checks or {}).get(v)
+        if sc is None:
+            return False
+        a, b, bits = sc
+        inv_a = pow(a, P - 2, P)
+        lin[pseudo] = c * inv_a % P
+        const = (const - c * b % P * inv_a) % P
+        local_ranges[pseudo] = RangeConstraint.from_range(0, (1 << bits) - 1)
+        pseudo -= 1
+    cands = [1] + [pow(c, P - 2, P) for c in set(lin.values())]
+    cands += [P - k for k in list(cands)]
+    for k in cands:
+        lo = hi = _signed(const * k)
+        ok = True
+        for v, c in lin.items():
+            rc = local_ranges.get(v)
+            if rc is None or rc.is_wrapping():
+                ok = False
+                break
+            cc = _signed(c * k)
+            t0, t1 = cc * rc.min, cc * rc.max
+            lo += min(t0, t1)
+            hi += max(t0, t1)
+        if not ok or hi - lo >= P:
+            continue
+        if all(not _residue_reachable(lo, hi, t * k % P) for t in targets):
+            return True
+    return False
+
+
+def collect_scaled_checks(state: OptimizerState, bus_map) -> Dict[int, Tuple[int, int, int]]:
+    """var -> (a, b, bits) for unguarded range checks on a*v + b."""
+    out: Dict[int, Tuple[int, int, int]] = {}
+    if bus_map is None:
+        return out
+    range_ids = {bid for bid, t in bus_map.bus_ids.items() if t == "VariableRangeChecker"}
+    for b in state.system.bus_interactions:
+        if b.id not in range_ids or len(b.args) != 2:
+            continue
+        if b.mult.try_to_constant() != 1:
+            continue
+        bits = b.args[1].try_to_constant()
+        arg = b.args[0]
+        if bits is None or not arg.is_affine() or len(arg.linear) != 1:
+            continue
+        ((v, a),) = arg.linear.items()
+        prev = out.get(v)
+        if prev is None or bits < prev[2]:
+            out[v] = (a, arg.constant, bits)
+    return out
+
+
+def bool_square_form(c: GE) -> Optional[GE]:
+    """F if the constraint is F*(F-1) = 0 with F affine, else None."""
+    if c.linear or c.constant % P or len(c.quadratic) != 1:
+        return None
+    a, b = c.quadratic[0]
+    if not a.is_affine() or not b.is_affine():
+        return None
+    d = (a - b).try_to_constant()
+    if d == 1:
+        return a
+    if d == P - 1:
+        return b
+    return None
+
+
+def twin_square_pass(state: OptimizerState, bus_map=None) -> None:
+    """Unify per-instance witness decompositions.
+
+    Two constraints F*(F-1)=0 and G*(G-1)=0 force F, G in {0,1}; if
+    interval analysis proves F-G cannot be +-1, then F = G, and the
+    affine difference (typically `limb_a - limb_b` for the carry
+    decompositions each load/store instance re-creates) becomes a new
+    constraint that the solver/inliner turns into substitutions.  The
+    reference reaches the same canonicalization through boolean
+    extraction plus its solver's equivalence detection
+    (constraint-solver/src/solver/boolean_extractor.rs,
+    autoprecompiles/src/optimizer_documentation.md 'Quadratic
+    Equivalence Detection'); on keccak this is what makes heap
+    addresses syntactically equal so memory pairs can cancel."""
+    scaled = collect_scaled_checks(state, bus_map)
+    squares: List[GE] = []
+    for c in state.system.constraints:
+        f = bool_square_form(c)
+        if f is not None:
+            squares.append(f)
+    groups: Dict[tuple, List[GE]] = {}
+    for f in squares:
+        key = (tuple(sorted(f.linear.values())), f.constant)
+        groups.setdefault(key, []).append(f)
+    new: List[GE] = []
+    for fs in groups.values():
+        if len(fs) < 2:
+            continue
+        reps: List[GE] = [fs[0]]
+        for f in fs[1:]:
+            matched = False
+            for r in reps[:64]:
+                D = (f - r).normalized()
+                if D.is_zero():
+                    matched = True
+                    break
+                if not D.is_affine() or len(D.linear) > 8:
+                    continue
+                if affine_value_excluded(D, (1, P - 1), state.bus_ranges, scaled):
+                    new.append(D)
+                    matched = True
+                    break
+            if not matched:
+                reps.append(f)
+    if new:
+        state.system.constraints.extend(new)
+
+
+_STATIC_CHECKED_BUSES = {"PcLookup", "VariableRangeChecker", "BitwiseLookup"}
+
+
+def drop_constant_lookups(state: OptimizerState, bus_map) -> None:
+    """Remove stateless lookups whose payload is fully constant,
+    verifying table membership statically (constraint_optimizer.rs
+    removes pc lookups once the pc is pinned to the block; range and
+    bitwise tables are checked right here).  Pc lookups are dropped
+    unconditionally: APC construction pins every operand from the
+    actual program, so membership was established at build time."""
+    keep = []
+    for b in state.system.bus_interactions:
+        btype = bus_map.bus_ids.get(b.id) if bus_map else None
+        name = btype if isinstance(btype, str) else (btype[0] if btype else None)
+        if name in _STATIC_CHECKED_BUSES and b.mult.try_to_constant() is not None:
+            vals = [a.try_to_constant() for a in b.args]
+            if all(v is not None for v in vals):
+                if name == "PcLookup":
+                    continue
+                if name == "VariableRangeChecker" and len(vals) == 2:
+                    if vals[0] < (1 << vals[1]):
+                        continue
+                if name == "BitwiseLookup" and len(vals) == 4:
+                    x, y, z, op = vals
+                    if x < 256 and y < 256 and (
+                        (op == 0 and z == 0) or (op == 1 and z == (x ^ y))
+                    ):
+                        continue
+        keep.append(b)
+    state.system.bus_interactions = keep
+
+
 def cancel_bus_interactions(state: OptimizerState) -> None:
     """Sum multiplicities of interactions with identical (bus, args);
     drop zero-mult interactions."""
@@ -442,13 +718,16 @@ def optimize_machine(
         ("solver", solver_pass),
         ("trivial", remove_trivial),
         ("exhaustive", exhaustive_search_pass),
+        ("twin_square", lambda s: twin_square_pass(s, bus_map)),
         ("cancel_bus", cancel_bus_interactions),
     ]
     if memory_bus_id is not None:
         passes.append(("memory", lambda s: optimize_memory(s, memory_bus_id)))
     if bus_map is not None:
         passes.append(("low_degree_bus", lambda s: low_degree_bus_opt(s, bus_map, bound)))
+        passes.append(("const_lookups", lambda s: drop_constant_lookups(s, bus_map)))
         passes.append(("range_opt", lambda s: range_check_opt(s, bus_map)))
+        passes.append(("lookup_residues", lambda s: remove_lookup_residues(s, bus_map)))
     passes += [
         ("free_vars", lambda s: remove_free_vars(s, bus_map)),
         ("inline", lambda s: inline_affine(s, bound)),

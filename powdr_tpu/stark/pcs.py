@@ -91,11 +91,15 @@ def _lde_matrix(evals: jnp.ndarray, log_blowup: int, shift: int) -> jnp.ndarray:
     )
 
 
-@functools.partial(jax.jit, static_argnums=(1, 2))
 def _commit_impl(evals: jnp.ndarray, log_blowup: int, shift: int):
-    """LDE + leaf hashing + every tree level in ONE dispatch."""
-    lde = _lde_matrix.__wrapped__(evals, log_blowup, shift)
-    layers = merkle._build_layers.__wrapped__(p2.hash_rows(lde))
+    """LDE, then leaf hashing + every tree level in one dispatch.
+
+    Kept as TWO jitted programs (LDE; hash+tree): fully fusing them into
+    a single jit cut one tunnel round trip but exploded XLA compile time
+    on the real TPU backend (the NTT ladder fused with the scanned
+    Poseidon2 levels compiles for minutes per distinct matrix shape)."""
+    lde = _lde_matrix(evals, log_blowup, shift)
+    layers = merkle._build_layers(p2.hash_rows(lde))
     return lde, layers
 
 
