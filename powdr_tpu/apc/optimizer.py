@@ -357,14 +357,17 @@ def inline_affine(state: OptimizerState, bound: DegreeBound, max_terms: int = 6)
     remove_trivial(state)
 
 
-def exhaustive_search_pass(state: OptimizerState) -> None:
+def exhaustive_search_pass(state: OptimizerState, bus_map=None) -> None:
     """Enumerate small-range variable groups; apply the resulting
     assignments, substitutions and range refinements
-    (exhaustive_search.rs analog)."""
+    (exhaustive_search.rs analog).  Range/byte-check facts participate
+    as membership predicates."""
     from ..solver.constraint_system import IndexedSystem
     from ..solver.exhaustive import exhaustive_pass
 
-    agg = exhaustive_pass(state.system, state.bus_ranges)
+    facts = collect_range_facts(state, bus_map) if bus_map is not None else []
+    facts = [(e, M) for e, M in facts if e.linear and len(e.linear) <= 8]
+    agg = exhaustive_pass(state.system, state.bus_ranges, facts=facts)
     if agg.get("contradiction"):
         raise RuntimeError("exhaustive search found an unsatisfiable group")
     if not (agg["assign"] or agg["subs"] or agg["ranges"]):
@@ -520,6 +523,120 @@ def affine_value_excluded(
         if all(not _residue_reachable(lo, hi, t * k % P) for t in targets):
             return True
     return False
+
+
+def collect_range_facts(state: OptimizerState, bus_map) -> List[Tuple[GE, int]]:
+    """(expr, M) facts `expr in [0, M]` implied by unguarded stateless
+    lookups — range checks and bitwise byte checks.  This is the
+    information the reference's solver receives through its
+    BusInteractionHandler (constraint-solver/src/bus_interaction_handler
+    usage in solver/base.rs): byte-decomposition lookups like
+    `x0 = c - 256*c1 - 65536*c2` with x0, c1 checked to bytes are what
+    pin instruction operands to constants."""
+    facts: List[Tuple[GE, int]] = []
+    if bus_map is None:
+        return facts
+    for b in state.system.bus_interactions:
+        btype = bus_map.bus_ids.get(b.id)
+        name = btype if isinstance(btype, str) else (btype[0] if btype else None)
+        m = b.mult.try_to_constant()
+        if m is None or m == 0:
+            continue
+        if name == "VariableRangeChecker" and len(b.args) == 2:
+            bits = b.args[1].try_to_constant()
+            if bits is not None and b.args[0].is_affine():
+                facts.append((b.args[0], (1 << bits) - 1))
+        elif name == "BitwiseLookup" and len(b.args) == 4:
+            op = b.args[3].try_to_constant()
+            if op == 0:
+                args = b.args[:2]
+            elif op == 1:
+                args = b.args[:3]
+            else:
+                continue
+            for a in args:
+                if a.is_affine() and not a.try_to_constant() == 0:
+                    facts.append((a, 255))
+    return facts
+
+
+def expr_range_pass(state: OptimizerState, bus_map) -> None:
+    """Interval propagation from expression-range facts: for
+    `sum c_i v_i + b in [0, M]`, any variable whose siblings have known
+    finite ranges gets its candidate set narrowed; a single candidate
+    becomes an assignment (substituted by the next solver pass via a new
+    affine constraint)."""
+    facts = [(e, M) for e, M in collect_range_facts(state, bus_map)
+             if e.linear and len(e.linear) <= 8]
+    if not facts:
+        return
+    new: List[GE] = []
+    assigned: Set[int] = set()
+    for _ in range(3):
+        progress = False
+        for e, M in facts:
+            lin = e.linear
+            for v, c in lin.items():
+                if v in assigned:
+                    continue
+                rc_v = state.bus_ranges.get(v)
+                if rc_v is None or rc_v.is_wrapping() or rc_v.range_size() > (1 << 22):
+                    continue
+                # siblings' reachable signed interval [rest_lo, rest_hi]
+                rest_lo = rest_hi = _signed(e.constant)
+                ok = True
+                for u, cu in lin.items():
+                    if u == v:
+                        continue
+                    rcu = state.bus_ranges.get(u)
+                    if rcu is None or rcu.is_wrapping():
+                        ok = False
+                        break
+                    cc = _signed(cu)
+                    t0, t1 = cc * rcu.min, cc * rcu.max
+                    rest_lo += min(t0, t1)
+                    rest_hi += max(t0, t1)
+                if not ok or rest_hi - rest_lo >= P:
+                    continue
+                cv = _signed(c)
+                # cv*x must land in some wrap branch [k*P - rest_hi,
+                # k*P + M - rest_lo]; collect candidate x intervals
+                cmin = min(cv * rc_v.min, cv * rc_v.max)
+                cmax = max(cv * rc_v.min, cv * rc_v.max)
+                k_lo = (cmin + rest_lo - M) // P
+                k_hi = (cmax + rest_hi) // P + 1
+                if k_hi - k_lo > 8:
+                    continue
+                spans = []
+                for k in range(k_lo, k_hi + 1):
+                    b_lo, b_hi = k * P - rest_hi, k * P + M - rest_lo
+                    if cv > 0:
+                        x_lo, x_hi = -(-b_lo // cv), b_hi // cv
+                    else:
+                        x_lo, x_hi = -(-b_hi // cv), b_lo // cv
+                    x_lo = max(x_lo, rc_v.min)
+                    x_hi = min(x_hi, rc_v.max)
+                    if x_lo <= x_hi:
+                        spans.append((x_lo, x_hi))
+                if not spans:
+                    continue  # no candidate: leave to solver/mock check
+                x_lo = min(s[0] for s in spans)
+                x_hi = max(s[1] for s in spans)
+                total = sum(s[1] - s[0] + 1 for s in spans)
+                if total == 1 and rc_v.range_size() > 1:
+                    new.append(GE.from_var(v) - GE.from_const(x_lo % P))
+                    assigned.add(v)
+                    state.bus_ranges[v] = RangeConstraint.from_value(x_lo % P)
+                    progress = True
+                elif (x_hi - x_lo + 1) < rc_v.range_size():
+                    state.bus_ranges[v] = state.bus_ranges[v].conjunction(
+                        RangeConstraint.from_range(x_lo % P, x_hi % P)
+                    )
+                    progress = True
+        if not progress:
+            break
+    if new:
+        state.system.constraints.extend(new)
 
 
 def collect_scaled_checks(state: OptimizerState, bus_map) -> Dict[int, Tuple[int, int, int]]:
@@ -717,7 +834,8 @@ def optimize_machine(
     passes = [
         ("solver", solver_pass),
         ("trivial", remove_trivial),
-        ("exhaustive", exhaustive_search_pass),
+        ("exhaustive", lambda s: exhaustive_search_pass(s, bus_map)),
+        ("expr_range", lambda s: expr_range_pass(s, bus_map)),
         ("twin_square", lambda s: twin_square_pass(s, bus_map)),
         ("cancel_bus", cancel_bus_interactions),
     ]

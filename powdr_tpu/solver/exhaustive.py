@@ -31,22 +31,73 @@ def _mask_of(values) -> int:
     return m
 
 
+def _one_hot_clusters(constraints: List[GE], var_values) -> List[Tuple[Tuple[int, ...], int]]:
+    """Disjoint clusters (vars, k) from constraints `sum(m_i) = k` over
+    booleans: their joint assignments are the C(n,k) selections instead
+    of 2^n, which is what makes one-hot selector groups (shift markers,
+    opcode flags) enumerable."""
+    used: Set[int] = set()
+    out = []
+    for c in constraints:
+        if c.quadratic or not c.linear:
+            continue
+        k = (-c.constant) % P
+        if k > 3 or any(co != 1 for co in c.linear.values()):
+            continue
+        vs = tuple(sorted(c.linear))
+        if any(v in used for v in vs):
+            continue
+        if any(var_values.get(v) not in ([0, 1],) for v in vs):
+            continue
+        used.update(vs)
+        out.append((vs, k))
+    return out
+
+
 def search_group(
     constraints: List[GE],
     var_values: Dict[int, List[int]],
+    facts: Optional[List[Tuple[GE, int]]] = None,
 ) -> Optional[Dict]:
-    """Enumerate; returns deductions or None if intractable/empty info."""
-    vs = sorted(var_values)
+    """Enumerate; returns deductions or None if intractable/empty info.
+
+    `facts` are membership predicates `expr mod P in [0, M]` from
+    stateless lookups (range / byte checks) whose variables fall inside
+    the group — the channel through which one-hot selector families
+    (shift markers) get pinned by their selection range check."""
+    from itertools import combinations
+
+    clusters = _one_hot_clusters(constraints, var_values)
+    clustered = {v for vs, _ in clusters for v in vs}
+    # blocks: (vars, list of joint assignments)
+    blocks: List[Tuple[Tuple[int, ...], List[Tuple[int, ...]]]] = []
+    for cvars, k in clusters:
+        assigns = []
+        for ones in combinations(range(len(cvars)), k):
+            row = [0] * len(cvars)
+            for i in ones:
+                row[i] = 1
+            assigns.append(tuple(row))
+        blocks.append((cvars, assigns))
+    for v in sorted(var_values):
+        if v not in clustered:
+            blocks.append(((v,), [(x,) for x in var_values[v]]))
     combos = 1
-    for v in vs:
-        combos *= len(var_values[v])
+    for _, assigns in blocks:
+        combos *= len(assigns)
         if combos > MAX_COMBOS:
             return None
+    order: List[int] = [v for bvars, _ in blocks for v in bvars]
+    vs = sorted(var_values)
+    pos = {v: i for i, v in enumerate(order)}
     sat: List[Tuple[int, ...]] = []
-    for combo in iter_product(*(var_values[v] for v in vs)):
-        assignment = dict(zip(vs, combo))
-        if all(c.eval(assignment) == 0 for c in constraints):
-            sat.append(combo)
+    for combo in iter_product(*(assigns for _, assigns in blocks)):
+        flat = [x for part in combo for x in part]
+        assignment = dict(zip(order, flat))
+        if all(c.eval(assignment) == 0 for c in constraints) and all(
+            e.eval(assignment) <= M for e, M in (facts or [])
+        ):
+            sat.append(tuple(flat[pos[v]] for v in vs))
     out: Dict = {"empty": not sat, "assign": {}, "ranges": {}, "subs": {}}
     if not sat:
         return out
@@ -91,6 +142,7 @@ def exhaustive_pass(
     system: ConstraintSystemGE,
     ranges: Dict[int, RangeConstraint],
     max_group_vars: int = 8,
+    facts: Optional[List[Tuple[GE, int]]] = None,
 ) -> Dict:
     """One sweep: groups are the var sets of individual constraints (plus
     all constraints falling inside the group).  Returns aggregated
@@ -104,9 +156,41 @@ def exhaustive_pass(
             occ.setdefault(v, []).append(i)
     agg = {"assign": {}, "ranges": {}, "subs": {}, "contradiction": False}
     seen_groups: Set[Tuple[int, ...]] = set()
-    for vs, idx in by_vars:
-        if not vs or len(vs) > max_group_vars:
+    max_closed_vars = 2 * max_group_vars
+    fact_vars = [e.variables() for e, _ in (facts or [])]
+    fact_occ: Dict[int, List[int]] = {}
+    for fi, fv in enumerate(fact_vars):
+        for v in fv:
+            fact_occ.setdefault(v, []).append(fi)
+    for vs0, idx in by_vars:
+        if not vs0 or len(vs0) > max_group_vars:
             continue
+        # closure: pull in constraints (and range facts — the shift-marker
+        # selection lives in a range check spanning two one-hot families)
+        # that add a few small-range vars to the group; only multi-var
+        # seeds close (single-var seeds are the thousands of boolean
+        # squares, whose groups need no completion)
+        vs = set(vs0)
+        if len(vs0) >= 3:
+            for _ in range(2):
+                cand0 = set()
+                fand0 = set()
+                for v in vs:
+                    cand0.update(occ.get(v, ()))
+                    fand0.update(fact_occ.get(v, ()))
+                cand_sets = [by_vars[i][0] for i in cand0]
+                cand_sets += [fact_vars[i] for i in fand0]
+                for cset in cand_sets:
+                    extra = cset - vs
+                    if not extra or len(extra) > 4 or len(vs) + len(extra) > max_closed_vars:
+                        continue
+                    if all(
+                        ranges.get(v) is not None
+                        and not ranges[v].is_wrapping()
+                        and ranges[v].range_size() <= 4
+                        for v in extra
+                    ):
+                        vs |= extra
         key = tuple(sorted(vs))
         if key in seen_groups:
             continue
@@ -127,7 +211,13 @@ def exhaustive_pass(
         group_cons = [
             system.constraints[i] for i in sorted(cand) if by_vars[i][0] <= vs
         ]
-        res = search_group(group_cons, var_values)
+        fcand = set()
+        for v in vs:
+            fcand.update(fact_occ.get(v, ()))
+        group_facts = [
+            (facts[i][0], facts[i][1]) for i in fcand if fact_vars[i] and fact_vars[i] <= vs
+        ]
+        res = search_group(group_cons, var_values, group_facts)
         if res is None:
             continue
         if res["empty"]:
