@@ -83,8 +83,20 @@ def build(leaf_digests: jnp.ndarray) -> MerkleTree:
     return MerkleTree(list(_build_layers(leaf_digests)))
 
 
-def verify_path(root: np.ndarray, index: int, leaf_digest: np.ndarray, path: np.ndarray) -> bool:
-    """Host-side path check (verifier is host logic; proofs are tiny)."""
+def verify_path(
+    root: np.ndarray,
+    index: int,
+    leaf_digest: np.ndarray,
+    path: np.ndarray,
+    expected_depth: int | None = None,
+) -> bool:
+    """Host-side path check (verifier is host logic; proofs are tiny).
+
+    `expected_depth` pins the tree depth the verifier knows from context
+    (log2 of the leaf count); a prover-supplied path of any other length
+    is rejected so binding doesn't rest on path-length accident."""
+    if expected_depth is not None and len(path) != expected_depth:
+        return False
     cur = jnp.asarray(leaf_digest).reshape(1, p2.DIGEST)
     idx = index
     for sib in path:

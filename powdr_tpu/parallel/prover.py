@@ -62,12 +62,22 @@ def make_sharded_prove_step(mesh: Mesh, log_n: int, width: int, log_blowup: int 
         c = bb.sub(jnp.roll(lde[:, 0], -blowup), bb.mont_mul(lde[:, 0], lde[:, 1 % width]))
         codeword = ext.mul(ext.from_base(c), jnp.broadcast_to(alpha, (N, 4)))
 
-        # 5. first FRI fold: g = (lo + hi)/2 + beta * (lo - hi)/(2x)
+        # 5. first FRI fold: g = (lo + hi)/2 + beta * (lo - hi)/(2x),
+        #    x_i = shift * w_N^i (same rule as stark.fri._fold_codeword)
         half = N // 2
         lo, hi = codeword[:half], codeword[half:]
         inv2 = bb.py_to_mont(pow(2, bb.P - 2, bb.P))
+        from ..stark.fri import _fold_inv2x_table
+        from ..stark.config import StarkConfig
+
+        inv2x = jax.lax.with_sharding_constraint(
+            jnp.asarray(_fold_inv2x_table(log_n + log_blowup, StarkConfig().coset_shift)),
+            vec_sharding,
+        )
         even = ext.mul_base(ext.add(lo, hi), jnp.uint32(inv2))
-        odd = ext.mul(jnp.broadcast_to(beta, (half, 4)), ext.sub(lo, hi))
+        odd = ext.mul(
+            jnp.broadcast_to(beta, (half, 4)), ext.mul_base(ext.sub(lo, hi), inv2x)
+        )
         folded = ext.add(even, odd)
 
         # 6. commit the folded codeword ((half, 8) leaf rows: pair layout)

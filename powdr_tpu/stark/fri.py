@@ -231,6 +231,11 @@ def verify(
     final_len = 1 << config.log_final_poly_len
     n = 1 << log_n
 
+    # proof-shape soundness checks (a forged proof must not be able to
+    # shrink the query set or inflate the final polynomial's degree)
+    assert len(proof.queries) == config.num_queries, "query count mismatch"
+    assert len(proof.final_poly) == final_len, "final poly length mismatch"
+
     betas = []
     for root in proof.layer_roots:
         challenger.observe_digest(root)
@@ -256,7 +261,9 @@ def verify(
             # check merkle path
             leaf_row = bb.np_to_mont(layer.pair.reshape(-1))
             digest = np.asarray(p2.hash_rows(jnp.asarray(leaf_row[None, :])))[0]
-            assert merkle.verify_path(root, i, digest, layer.path), f"bad path layer {l}"
+            assert merkle.verify_path(
+                root, i, digest, layer.path, expected_depth=cur_log - 1
+            ), f"bad path layer {l}"
             lo, hi = tuple(int(v) for v in layer.pair[0]), tuple(int(v) for v in layer.pair[1])
             if value is None:
                 if open_input is not None:

@@ -312,6 +312,10 @@ def verify_openings(
     log_Ns = [l + config.log_blowup for l in log_ns]
     log_N_max = max(log_Ns)
 
+    assert len(opening.queries) == config.num_queries, "PCS query count mismatch"
+    assert len(opening.values) == len(roots) == len(points) == len(log_ns)
+    for pq in opening.queries:
+        assert len(pq.per_matrix) == len(roots), "per-query matrix count mismatch"
     for vals, zs in zip(opening.values, points):
         assert len(vals) == len(zs)
         for v in vals:
@@ -364,8 +368,13 @@ def verify_openings(
                 i_m = q % half
                 d_lo = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
                 d_hi = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
-                assert merkle.verify_path(root, i_m, d_lo, mq.path_lo), "bad row path (lo)"
-                assert merkle.verify_path(root, i_m + half, d_hi, mq.path_hi), "bad row path (hi)"
+                depth = log_Ns[m_idx]
+                assert merkle.verify_path(
+                    root, i_m, d_lo, mq.path_lo, expected_depth=depth
+                ), "bad row path (lo)"
+                assert merkle.verify_path(
+                    root, i_m + half, d_hi, mq.path_hi, expected_depth=depth
+                ), "bad row path (hi)"
                 rows_lo[m_idx] = mq.row_lo
                 rows_hi[m_idx] = mq.row_hi
             current["rows_lo"] = rows_lo

@@ -44,6 +44,13 @@ def verify(
 ) -> None:
     """vk: per-chip preprocessed commitment roots (from keys.setup).  If
     None, roots are recomputed from air.preprocessed (honest-setup mode)."""
+    # shape soundness: a proof listing fewer chips than airs must not let
+    # zip() silently skip trailing chips' constraint and opening checks
+    assert len(proof.chips) == len(airs), "chip count mismatch"
+    if isinstance(proof.log_n, list):
+        assert len(proof.log_n) == len(airs), "log_n count mismatch"
+    if proof.publics is not None:
+        assert len(proof.publics) == len(airs), "publics count mismatch"
     log_ns = proof.log_n if isinstance(proof.log_n, list) else [proof.log_n] * len(airs)
     log_n_max = max(log_ns)
 
@@ -60,6 +67,7 @@ def verify(
         from .keys import setup
 
         vk = setup(airs, log_ns, config).pre_roots
+    assert len(vk) == len(airs), "vk count mismatch"
     for a, cp, root in zip(airs, proof.chips, vk):
         if a.preprocessed is not None:
             assert root is not None and (np.asarray(cp.pre_root) == np.asarray(root)).all(), (

@@ -73,6 +73,44 @@ def test_fri_rejects_high_degree(rng):
         fri.prove(cw, CFG, ch)
 
 
+def test_fri_rejects_wrong_query_count(rng):
+    """A forged proof must not be able to shrink the query set (ADVICE r1)."""
+    log_n = 7
+    cw = low_degree_codeword(rng, log_n, CFG.log_blowup)
+    ch = Challenger()
+    proof = fri.prove(cw, CFG, ch)
+    proof.queries = proof.queries[:-1]
+    with pytest.raises(AssertionError, match="query count"):
+        fri.verify(proof, log_n, CFG, Challenger())
+    proof.queries = []
+    with pytest.raises(AssertionError, match="query count"):
+        fri.verify(proof, log_n, CFG, Challenger())
+
+
+def test_fri_rejects_oversized_final_poly(rng):
+    """Extra final-poly coefficients would make the low-degree test
+    vacuous (ADVICE r1); the verifier must bound its length."""
+    log_n = 7
+    cw = low_degree_codeword(rng, log_n, CFG.log_blowup)
+    ch = Challenger()
+    proof = fri.prove(cw, CFG, ch)
+    proof.final_poly = np.concatenate([proof.final_poly, proof.final_poly], axis=0)
+    with pytest.raises(AssertionError, match="final poly length"):
+        fri.verify(proof, log_n, CFG, Challenger())
+
+
+def test_fri_rejects_wrong_path_depth(rng):
+    """Merkle paths must have exactly the expected depth (ADVICE r1)."""
+    log_n = 7
+    cw = low_degree_codeword(rng, log_n, CFG.log_blowup)
+    ch = Challenger()
+    proof = fri.prove(cw, CFG, ch)
+    lay = proof.queries[0].layers[0]
+    lay.path = np.concatenate([lay.path, lay.path[-1:]], axis=0)
+    with pytest.raises(AssertionError, match="bad path"):
+        fri.verify(proof, log_n, CFG, Challenger())
+
+
 def test_fri_rejects_tampered_proof(rng):
     log_n = 7
     cw = low_degree_codeword(rng, log_n, CFG.log_blowup)

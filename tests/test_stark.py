@@ -60,6 +60,20 @@ def test_fib_rejects_bad_trace():
         verifier.verify([air], proof, CFG, vch)
 
 
+def test_rejects_truncated_chip_list(rng):
+    """A proof listing fewer chips than airs must fail the shape check,
+    not silently skip the trailing chips' checks (ADVICE r1)."""
+    n = 32
+    s, r = lookup_pair(n, rng)
+    proof = prover.prove([s, r], CFG, Challenger())
+    import copy
+
+    bad = copy.copy(proof)
+    bad.chips = proof.chips[:1]
+    with pytest.raises(AssertionError, match="chip count"):
+        verifier.verify([s[0], r[0]], bad, CFG, Challenger())
+
+
 def lookup_pair(n, rng):
     """Two chips connected by one bus: sender emits values with mult 1,
     receiver is a table counting them."""
