@@ -48,6 +48,9 @@ class OptimizerState:
     system: ConstraintSystemGE
     names: Dict[int, str]
     derived: List[Tuple[int, GE]] = field(default_factory=list)  # (var, defining expr)
+    #: fresh vars with QuotientOrZero witgen semantics: (var, num, den),
+    #: value = num/den when den != 0 else 0 (reference ComputationMethod)
+    derived_quot: List[Tuple[int, GE, GE]] = field(default_factory=list)
     bus_ranges: Dict[int, RangeConstraint] = field(default_factory=dict)
 
     def stats(self) -> Tuple[int, int, int]:
@@ -89,6 +92,14 @@ def system_to_machine(
     for v, e in state.derived:
         derived.append(
             DerivedColumn(var=ir.Var(name=names.get(v, f"x{v}"), id=v), expr=to_expr(e, names))
+        )
+    for v, num, den in state.derived_quot:
+        derived.append(
+            DerivedColumn(
+                var=ir.Var(name=names.get(v, f"x{v}"), id=v),
+                expr=to_expr(num, names),
+                den=to_expr(den, names),
+            )
         )
     return SymbolicMachine(constraints=constraints, bus_interactions=bus, derived_columns=derived)
 
@@ -138,6 +149,18 @@ def _occurrence_counts(system: ConstraintSystemGE):
 STATEFUL_BUSES = {"ExecutionBridge", "Memory"}
 
 
+def _satisfiable_via_free_var(c: GE, v: int) -> bool:
+    """True if the constraint can always be satisfied by choosing v,
+    regardless of the other variables (constraint_optimizer.rs
+    `can_always_be_satisfied_via_free_variable`)."""
+    if c.solve_for(v) is not None:
+        return True
+    if not c.linear and c.constant == 0 and len(c.quadratic) == 1:
+        l, r = c.quadratic[0]
+        return _satisfiable_via_free_var(l, v) or _satisfiable_via_free_var(r, v)
+    return False
+
+
 def remove_free_vars(state: OptimizerState, bus_map=None) -> None:
     """Free-variable elimination (constraint_optimizer.rs:286-344):
 
@@ -177,6 +200,11 @@ def remove_free_vars(state: OptimizerState, bus_map=None) -> None:
             if kind == "c" and i not in drop_c:
                 c = state.system.constraints[i]
                 repl = c.solve_for(v)
+                if repl is None and _satisfiable_via_free_var(c, v):
+                    # product form: one factor can be zeroed by choosing v
+                    # (constraint_optimizer.rs can_always_be_satisfied_via_
+                    # free_variable recursing into single products)
+                    repl = GE.from_const(0)
                 if repl is not None:
                     state.derived.append((v, repl))
                     drop_c.add(i)
@@ -296,65 +324,158 @@ def remove_lookup_residues(state: OptimizerState, bus_map) -> None:
         ]
 
 
-def remove_disconnected(state: OptimizerState) -> None:
-    """Drop constraints (and their vars) not reachable from any bus
-    interaction via shared variables (reachability.rs analog)."""
-    _, bus_vars = _occurrence_counts(state.system)
-    reach = set(bus_vars)
-    changed = True
+def _stateful_ids(state: OptimizerState, bus_map) -> Optional[Set[int]]:
+    """Bus ids of stateful buses (memory / execution bridge) — the only
+    channels through which the circuit interacts with the rest of the
+    zkVM (constraint_optimizer.rs `IsBusStateful`)."""
+    if bus_map is None:
+        return None
+    out = set()
+    for bid, btype in bus_map.bus_ids.items():
+        name = btype if isinstance(btype, str) else btype[0]
+        if name in STATEFUL_BUSES:
+            out.add(bid)
+    return out
+
+
+def remove_disconnected(state: OptimizerState, bus_map=None) -> None:
+    """Drop columns not reachable from any *stateful* bus interaction
+    (memory/exec bridge), plus the constraints and stateless interactions
+    that reference them (constraint_optimizer.rs
+    `remove_disconnected_columns`: assuming the system is satisfiable, the
+    prover can always satisfy components disconnected from the rest of the
+    zkVM, so removing them is safe).  Reachability propagates through both
+    algebraic constraints and bus interactions (reachability.rs)."""
+    stateful = _stateful_ids(state, bus_map)
     con_vars = [c.variables() for c in state.system.constraints]
+    bus_vars_per = []
+    reach: Set[int] = set()
+    for b in state.system.bus_interactions:
+        vs = set()
+        for e in b.exprs():
+            vs |= e.variables()
+        bus_vars_per.append(vs)
+        if stateful is None or b.id in stateful:
+            reach |= vs
+    changed = True
     while changed:
         changed = False
         for vs in con_vars:
             if vs & reach and not vs <= reach:
                 reach |= vs
                 changed = True
-    keep = []
+        for vs in bus_vars_per:
+            if vs & reach and not vs <= reach:
+                reach |= vs
+                changed = True
+    keep_c = []
     for c, vs in zip(state.system.constraints, con_vars):
         if vs and not vs & reach:
+            # dead component: witgen keeps the dummy-trace values, the
+            # columns just stop being committed
             for v in sorted(vs):
                 state.derived.append((v, GE.from_const(0)))
             continue
-        keep.append(c)
-    # disconnected constraints must still hold for SOME assignment; only
-    # drop ones that are satisfiable by free choice — conservatively keep
-    # any with no solvable var
-    final = []
-    for c in keep:
-        final.append(c)
-    state.system.constraints = final
+        keep_c.append(c)
+    state.system.constraints = keep_c
+    keep_b = []
+    for b, vs in zip(state.system.bus_interactions, bus_vars_per):
+        if stateful is not None and b.id not in stateful and vs and not vs & reach:
+            continue
+        keep_b.append(b)
+    state.system.bus_interactions = keep_b
 
 
-def inline_affine(state: OptimizerState, bound: DegreeBound, max_terms: int = 6) -> None:
-    """Inline vars defined by small affine constraints (inliner.rs).
+def _virtual_degree(e: GE, v: int, rdeg: int) -> int:
+    """Degree of e if v were replaced by an expression of degree rdeg
+    (inliner.rs `expression_degree_with_virtual_substitution`)."""
+    d = 0
+    if e.linear:
+        d = rdeg if v in e.linear else 1
+    for l, r in e.quadratic:
+        d = max(d, _virtual_degree(l, v, rdeg) + _virtual_degree(r, v, rdeg))
+    return d
 
-    One sweep per call (the outer optimize loop provides the fixpoint);
-    substitution through the occurrence index makes each inline
-    O(touched constraints), and the defining constraint vanishes to 0 by
-    construction when its own variable is substituted."""
+
+def inline_below_degree_bound(state: OptimizerState, bound: DegreeBound) -> None:
+    """Inline every witness column that appears linearly in some algebraic
+    constraint, as long as no constraint exceeds `bound.identities` and no
+    bus-interaction field exceeds `bound.bus_interactions` after the
+    substitution (inliner.rs `replace_constrained_witness_columns` +
+    `inline_everything_below_degree_bound`: no term-count heuristics —
+    the degree bound is the only limit)."""
     from ..solver.constraint_system import IndexedSystem
 
     idx_sys = IndexedSystem(state.system)
-    counts, bus_vars = _occurrence_counts(state.system)
-    inlined: Set[int] = set()
-    for i in range(len(state.system.constraints)):
-        c = state.system.constraints[i]
-        if not c.is_affine() or not c.linear or len(c.linear) > max_terms + 1:
-            continue
-        for v in sorted(c.linear):
-            if v in inlined:
+    removed: Set[int] = set()
+    n = len(state.system.constraints)
+    while True:
+        progress = False
+        for ci in range(n - 1, -1, -1):
+            if ci in removed:
                 continue
-            repl = c.solve_for(v)
-            if repl is None or v in repl.variables():
-                continue
-            occ = counts.get(v, 0) + (1 if v in bus_vars else 0)
-            if len(repl.linear) > max_terms and occ > 2:
-                continue
-            state.derived.append((v, repl))
-            idx_sys.substitute(v, repl)
-            inlined.add(v)
+            c = state.system.constraints[ci]
+            for v in sorted(c.linear, reverse=True):
+                repl = c.solve_for(v)
+                if repl is None:
+                    continue
+                rdeg = repl.degree()
+                ok = True
+                for slot in idx_sys.occurrences(v):
+                    limit = bound.identities if slot[0] == "c" else bound.bus_interactions
+                    if _virtual_degree(idx_sys.get(slot), v, rdeg) > limit:
+                        ok = False
+                        break
+                if not ok:
+                    continue
+                idx_sys.substitute(v, repl)
+                removed.add(ci)
+                state.derived.append((v, repl))
+                progress = True
+                break
+        if not progress:
             break
-    remove_trivial(state)
+    state.system.constraints = [
+        c for i, c in enumerate(state.system.constraints) if i not in removed and not c.normalized().is_zero()
+    ]
+
+
+def rc_of_expr(e: GE, ranges: Dict[int, RangeConstraint]) -> RangeConstraint:
+    """Range constraint of an expression from its variables' ranges
+    (validity-preserving over-approximation)."""
+    acc = RangeConstraint.from_value(e.constant)
+    for v, c in e.linear.items():
+        acc = acc.combine_sum(ranges.get(v, RangeConstraint.default()).multiple(c))
+        if acc.is_unconstrained():
+            return acc
+    for l, r in e.quadratic:
+        acc = acc.combine_sum(rc_of_expr(l, ranges).combine_product(rc_of_expr(r, ranges)))
+        if acc.is_unconstrained():
+            return acc
+    return acc
+
+
+def substitute_bus_fields(state: OptimizerState) -> None:
+    """Replace bus-interaction fields the range knowledge pins to a single
+    value by that constant, adding an asserting algebraic constraint for
+    soundness (constraint_optimizer.rs `substitute_bus_interaction_fields`;
+    the assert is usually optimized away by later passes)."""
+    new_cons: List[GE] = []
+    for b in state.system.bus_interactions:
+        for j, f in enumerate(b.exprs()):
+            if f.try_to_constant() is not None:
+                continue
+            if f.is_affine() and len(f.linear) <= 1:
+                continue  # solver would already know the variable itself
+            val = rc_of_expr(f, state.bus_ranges).try_to_single_value()
+            if val is None:
+                continue
+            new_cons.append((f - GE.from_const(val)).normalized())
+            if j == 0:
+                b.mult = GE.from_const(val)
+            else:
+                b.args[j - 1] = GE.from_const(val)
+    state.system.constraints.extend(new_cons)
 
 
 def exhaustive_search_pass(state: OptimizerState, bus_map=None) -> None:
@@ -366,7 +487,7 @@ def exhaustive_search_pass(state: OptimizerState, bus_map=None) -> None:
     from ..solver.exhaustive import exhaustive_pass
 
     facts = collect_range_facts(state, bus_map) if bus_map is not None else []
-    facts = [(e, M) for e, M in facts if e.linear and len(e.linear) <= 8]
+    facts = [(e, M) for e, M in facts if e.linear and len(e.linear) <= 12]
     agg = exhaustive_pass(state.system, state.bus_ranges, facts=facts)
     if agg.get("contradiction"):
         raise RuntimeError("exhaustive search found an unsatisfiable group")
@@ -567,7 +688,7 @@ def expr_range_pass(state: OptimizerState, bus_map) -> None:
     becomes an assignment (substituted by the next solver pass via a new
     affine constraint)."""
     facts = [(e, M) for e, M in collect_range_facts(state, bus_map)
-             if e.linear and len(e.linear) <= 8]
+             if e.linear and len(e.linear) <= 12]
     if not facts:
         return
     new: List[GE] = []
@@ -756,9 +877,13 @@ def drop_constant_lookups(state: OptimizerState, bus_map) -> None:
     state.system.bus_interactions = keep
 
 
-def cancel_bus_interactions(state: OptimizerState) -> None:
-    """Sum multiplicities of interactions with identical (bus, args);
-    drop zero-mult interactions."""
+def cancel_bus_interactions(state: OptimizerState, bus_map=None) -> None:
+    """Sum multiplicities of interactions with identical (bus, args) and
+    drop zero-mult interactions.  For *stateless* lookup buses, identical
+    interactions are deduplicated instead (the table-side multiplicity is
+    prover-chosen, so one check implies the other —
+    constraint_optimizer.rs `remove_equal_bus_interactions`)."""
+    stateful = _stateful_ids(state, bus_map)
     groups: Dict[Tuple, List[int]] = {}
     for i, b in enumerate(state.system.bus_interactions):
         key = (b.id, tuple(a.key() for a in b.args))
@@ -767,11 +892,17 @@ def cancel_bus_interactions(state: OptimizerState) -> None:
     for key, idxs in groups.items():
         if len(idxs) < 2:
             continue
-        total = state.system.bus_interactions[idxs[0]].mult
+        b0 = state.system.bus_interactions[idxs[0]]
+        if stateful is not None and b0.id not in stateful:
+            mults = {state.system.bus_interactions[i].mult.key() for i in idxs}
+            if len(mults) == 1:
+                drop |= set(idxs[1:])
+                continue
+        total = b0.mult
         for i in idxs[1:]:
             total = total + state.system.bus_interactions[i].mult
         total = total.normalized()
-        state.system.bus_interactions[idxs[0]].mult = total
+        b0.mult = total
         drop |= set(idxs[1:])
     kept = []
     for i, b in enumerate(state.system.bus_interactions):
@@ -781,6 +912,154 @@ def cancel_bus_interactions(state: OptimizerState) -> None:
             continue
         kept.append(b)
     state.system.bus_interactions = kept
+
+
+def _pow2_mask_bits(rc: RangeConstraint) -> Optional[int]:
+    """bits if rc is exactly [0, 2^bits - 1] with matching mask
+    (range_constraint_optimizer.rs `range_constraint_to_num_bits`)."""
+    for bits in range(31):
+        m = (1 << bits) - 1
+        if rc.min == 0 and rc.max == m and rc.mask == m:
+            return bits
+    return None
+
+
+def batch_range_checks(state: OptimizerState, bus_map, bound: DegreeBound) -> None:
+    """Minimize range-check interactions (range_constraint_optimizer.rs
+    `optimize_range_constraints` + the OpenVM handler's
+    `batch_make_range_constraints`):
+
+    1. strip every unconditional *pure* range check (variable range
+       checker with constant bits; bitwise lookup with op=0, z=0; tuple
+       range checker), collecting expr -> required range;
+    2. drop requirements already implied by the remaining system;
+    3. implement single-bit requirements as `x*(x-1) = 0` constraints
+       when the degree bound allows;
+    4. re-emit the rest batched: byte + [0,2047] pairs on the tuple
+       checker, byte pairs two-at-a-time on the bitwise lookup, the rest
+       on the variable range checker."""
+    from . import bus_handlers
+
+    ids = {}
+    for bid, btype in (bus_map.bus_ids.items() if bus_map else []):
+        name = btype if isinstance(btype, str) else btype[0]
+        ids.setdefault(name, bid)
+    vrc_id = ids.get("VariableRangeChecker")
+    bw_id = ids.get("BitwiseLookup")
+    tup_id = ids.get("TupleRangeChecker")
+    if vrc_id is None:
+        return
+    tup_sizes = (256, 2048)
+    for bid, btype in (bus_map.bus_ids.items() if bus_map else []):
+        if isinstance(btype, tuple) and btype[0] == "TupleRangeChecker":
+            tup_sizes = btype[1]
+
+    order: List[Tuple] = []  # expr keys in first-seen order
+    required: Dict[Tuple, Tuple[GE, RangeConstraint]] = {}
+    kept: List[BusInteractionGE] = []
+
+    def require(e: GE, rc: RangeConstraint):
+        k = e.key()
+        if k in required:
+            required[k] = (e, required[k][1].conjunction(rc))
+        else:
+            required[k] = (e, rc)
+            order.append(k)
+
+    for b in state.system.bus_interactions:
+        if b.mult.try_to_constant() != 1:
+            kept.append(b)
+            continue
+        if b.id == vrc_id and len(b.args) == 2:
+            bits = b.args[1].try_to_constant()
+            if bits is not None and bits <= 30:
+                require(b.args[0], RangeConstraint.from_mask((1 << bits) - 1))
+                continue
+        elif b.id == bw_id and len(b.args) == 4:
+            if b.args[3].try_to_constant() == 0 and b.args[2].try_to_constant() == 0:
+                require(b.args[0], RangeConstraint.from_mask(255))
+                require(b.args[1], RangeConstraint.from_mask(255))
+                continue
+        elif b.id == tup_id and len(b.args) == 2:
+            require(b.args[0], RangeConstraint.from_mask(tup_sizes[0] - 1))
+            require(b.args[1], RangeConstraint.from_mask(tup_sizes[1] - 1))
+            continue
+        kept.append(b)
+    if not required:
+        return
+    state.system.bus_interactions = kept
+
+    # range knowledge from the REMAINING system only (the requirement must
+    # be implied without the stripped checks)
+    try:
+        seeded, _ = bus_handlers.seed_ranges(state.system, bus_map)
+    except Exception:
+        seeded = {}
+    remaining_ranges: Dict[int, RangeConstraint] = {}
+    for v, rc in seeded.items():
+        remaining_ranges[v] = rc
+    # single-value knowledge survives independently of checks
+    for v, rc in state.bus_ranges.items():
+        if rc.try_to_single_value() is not None:
+            remaining_ranges[v] = rc
+    # boolean knowledge from x*(x-1)=0 constraints still in the system
+    for c in state.system.constraints:
+        f = bool_square_form(c)
+        if f is not None:
+            sv = f.try_to_simple_var()
+            if sv is not None:
+                cur = remaining_ranges.get(sv, RangeConstraint.default())
+                remaining_ranges[sv] = cur.conjunction(RangeConstraint(0, 1, 1))
+
+    to_emit: List[Tuple[GE, RangeConstraint, int]] = []
+    new_cons: List[GE] = []
+    for k in order:
+        e, rc = required[k]
+        cur = rc_of_expr(e, remaining_ranges)
+        if cur.conjunction(rc) == cur:
+            continue  # already implied
+        bits = _pow2_mask_bits(rc)
+        if bits is None:
+            # shouldn't happen (all sources are pow2 masks); keep exact check
+            to_emit.append((e, rc, 31))
+            continue
+        if bits == 1 and 2 * max(e.degree(), 1) <= bound.identities:
+            new_cons.append((e * (e - GE.from_const(1))).normalized())
+            continue
+        to_emit.append((e, rc, bits))
+    state.system.constraints.extend(new_cons)
+
+    one = GE.from_const(1)
+    byte_bits = (tup_sizes[0] - 1).bit_length()
+    second_bits = (tup_sizes[1] - 1).bit_length()
+    bytes_ = [e for e, rc, bits in to_emit if bits == byte_bits]
+    seconds = [e for e, rc, bits in to_emit if bits == second_bits] if tup_id is not None else []
+    others = [
+        (e, bits)
+        for e, rc, bits in to_emit
+        if bits != byte_bits and not (tup_id is not None and bits == second_bits)
+    ]
+    n_tup = min(len(seconds), len(bytes_)) if tup_id is not None else 0
+    out: List[BusInteractionGE] = []
+    for i in range(n_tup):
+        out.append(BusInteractionGE(id=tup_id, mult=one, args=[bytes_[i], seconds[i]]))
+    for e in seconds[n_tup:]:
+        out.append(
+            BusInteractionGE(id=vrc_id, mult=one, args=[e, GE.from_const(second_bits)])
+        )
+    rest_bytes = bytes_[n_tup:]
+    if bw_id is not None:
+        zero = GE.from_const(0)
+        for i in range(0, len(rest_bytes), 2):
+            b1 = rest_bytes[i]
+            b2 = rest_bytes[i + 1] if i + 1 < len(rest_bytes) else zero
+            out.append(BusInteractionGE(id=bw_id, mult=one, args=[b1, b2, zero, zero]))
+    else:
+        for e in rest_bytes:
+            out.append(BusInteractionGE(id=vrc_id, mult=one, args=[e, GE.from_const(8)]))
+    for e, bits in others:
+        out.append(BusInteractionGE(id=vrc_id, mult=one, args=[e, GE.from_const(bits)]))
+    state.system.bus_interactions.extend(out)
 
 
 # -- driver -------------------------------------------------------------------
@@ -828,29 +1107,35 @@ def optimize_machine(
         fn(state)
         report.passes.append((name, time.perf_counter() - t0))
 
+    from .rule_opt import rule_based_pass
+
     if exec_bus_id is not None:
         timed("exec_bus", lambda s: collapse_exec_bus(s, exec_bus_id))
 
+    # inner pass list, mirroring constraint_optimizer.rs optimize_constraints
+    # (solver -> trivial -> free vars -> disconnected -> exhaustive ->
+    #  rule-based -> bus-field substitution -> memory -> low-degree bus),
+    # plus the fact-driven passes that stand in for the reference's
+    # BusInteractionHandler-aware solver (expr_range / twin_square / ...)
     passes = [
         ("solver", solver_pass),
         ("trivial", remove_trivial),
+        ("free_vars", lambda s: remove_free_vars(s, bus_map)),
+        ("disconnected", lambda s: remove_disconnected(s, bus_map)),
         ("exhaustive", lambda s: exhaustive_search_pass(s, bus_map)),
         ("expr_range", lambda s: expr_range_pass(s, bus_map)),
         ("twin_square", lambda s: twin_square_pass(s, bus_map)),
-        ("cancel_bus", cancel_bus_interactions),
+        ("rule_based", lambda s: rule_based_pass(s, bus_map)),
+        ("bus_fields", substitute_bus_fields),
+        ("cancel_bus", lambda s: cancel_bus_interactions(s, bus_map)),
     ]
     if memory_bus_id is not None:
         passes.append(("memory", lambda s: optimize_memory(s, memory_bus_id)))
     if bus_map is not None:
         passes.append(("low_degree_bus", lambda s: low_degree_bus_opt(s, bus_map, bound)))
         passes.append(("const_lookups", lambda s: drop_constant_lookups(s, bus_map)))
-        passes.append(("range_opt", lambda s: range_check_opt(s, bus_map)))
         passes.append(("lookup_residues", lambda s: remove_lookup_residues(s, bus_map)))
-    passes += [
-        ("free_vars", lambda s: remove_free_vars(s, bus_map)),
-        ("inline", lambda s: inline_affine(s, bound)),
-        ("disconnected", remove_disconnected),
-    ]
+
     prev = None
     for _ in range(max_rounds):
         for name, fn in passes:
@@ -859,6 +1144,26 @@ def optimize_machine(
         if cur == prev:
             break
         prev = cur
+
+    # after the fixpoint: inline everything below the degree bound (the
+    # single big inlining step, optimizer.rs:112-116), clean up, run the
+    # rule engine once more with the degree bound, then minimize range
+    # checks (optimizer.rs:120-158)
+    timed("inline", lambda s: inline_below_degree_bound(s, bound))
+    timed("disconnected_post", lambda s: remove_disconnected(s, bus_map))
+    timed("rule_based_post", lambda s: rule_based_pass(s, bus_map, bound))
+    timed("solver_post", solver_pass)
+    timed("trivial_post", remove_trivial)
+    timed("cancel_bus_post", lambda s: cancel_bus_interactions(s, bus_map))
+    if bus_map is not None:
+        timed("range_opt", lambda s: range_check_opt(s, bus_map))
+        timed("batch_ranges", lambda s: batch_range_checks(s, bus_map, bound))
+        timed("const_lookups_post", lambda s: drop_constant_lookups(s, bus_map))
+        timed("lookup_residues_post", lambda s: remove_lookup_residues(s, bus_map))
+        timed("free_vars_post", lambda s: remove_free_vars(s, bus_map))
+        timed("disconnected_final", lambda s: remove_disconnected(s, bus_map))
+    timed("inline_final", lambda s: inline_below_degree_bound(s, bound))
+    timed("trivial_final", remove_trivial)
 
     out = system_to_machine(state, machine.derived_columns)
     report.after = out.stats()

@@ -32,10 +32,15 @@ class SymbolicBusInteraction:
 
 @dataclass
 class DerivedColumn:
-    """Column computed from others at witgen time (not constrained)."""
+    """Column computed from others at witgen time (not constrained).
+
+    den = None: value = expr.  den set: QuotientOrZero semantics —
+    value = expr/den when den != 0 else 0 (reference ComputationMethod,
+    constraint-solver/src/constraint_system.rs)."""
 
     var: ir.Var
-    expr: ir.Expr  # 'Constant' or 'QuotientOrZero' semantics in reference
+    expr: ir.Expr
+    den: Optional[ir.Expr] = None
 
 
 @dataclass
@@ -65,6 +70,8 @@ class SymbolicMachine:
         for d in self.derived_columns:
             out[d.var.id] = d.var.name
             walk(d.expr)
+            if d.den is not None:
+                walk(d.den)
         return out
 
     def main_columns(self) -> Dict[int, str]:
@@ -161,8 +168,13 @@ def machine_from_json(m: Dict[str, Any]) -> SymbolicMachine:
     for d in m.get("derived_columns", []):
         var = expr_from_json(d[0]) if isinstance(d, list) else expr_from_json(d["var"])
         expr = expr_from_json(d[1]) if isinstance(d, list) else expr_from_json(d["expr"])
+        den = None
+        if isinstance(d, list) and len(d) > 2 and d[2] is not None:
+            den = expr_from_json(d[2])
+        elif isinstance(d, dict) and d.get("den") is not None:
+            den = expr_from_json(d["den"])
         assert isinstance(var, ir.Var)
-        derived.append(DerivedColumn(var=var, expr=expr))
+        derived.append(DerivedColumn(var=var, expr=expr, den=den))
     return SymbolicMachine(constraints=constraints, bus_interactions=bus, derived_columns=derived)
 
 
@@ -174,7 +186,10 @@ def machine_to_json(m: SymbolicMachine) -> Dict[str, Any]:
             for b in m.bus_interactions
         ],
         "derived_columns": [
-            [expr_to_json(d.var), expr_to_json(d.expr)] for d in m.derived_columns
+            [expr_to_json(d.var), expr_to_json(d.expr)]
+            if d.den is None
+            else [expr_to_json(d.var), expr_to_json(d.expr), expr_to_json(d.den)]
+            for d in m.derived_columns
         ],
     }
 

@@ -31,26 +31,55 @@ def _mask_of(values) -> int:
     return m
 
 
-def _one_hot_clusters(constraints: List[GE], var_values) -> List[Tuple[Tuple[int, ...], int]]:
-    """Disjoint clusters (vars, k) from constraints `sum(m_i) = k` over
-    booleans: their joint assignments are the C(n,k) selections instead
-    of 2^n, which is what makes one-hot selector groups (shift markers,
-    opcode flags) enumerable."""
+def _one_hot_clusters(
+    constraints: List[GE], var_values
+) -> List[Tuple[Tuple[int, ...], int, bool]]:
+    """Disjoint clusters (vars, k, allow_zero) over boolean vars:
+
+    * `sum(m_i) = k` -> exactly k set (C(n,k) assignments);
+    * `(1 - sum(m_i)) * sum(m_i) = 0` (any scaling) -> at most one set
+      (n+1 assignments) — the shift-marker selector form.
+
+    Joint enumeration replaces 2^n blowup with the selection count."""
     used: Set[int] = set()
     out = []
+
+    def boolean_sum_vars(e: GE) -> Optional[Tuple[Tuple[int, ...], int]]:
+        """(vars, k) if e = f*(sum v_i) - f*k over booleans, same coeff f."""
+        if e.quadratic or not e.linear:
+            return None
+        coeffs = set(e.linear.values())
+        if len(coeffs) != 1:
+            return None
+        f = next(iter(coeffs))
+        k = (-e.constant) * pow(f, P - 2, P) % P
+        if k > 3:
+            return None
+        vs = tuple(sorted(e.linear))
+        if any(var_values.get(v) not in ([0, 1],) for v in vs):
+            return None
+        return vs, k
+
     for c in constraints:
-        if c.quadratic or not c.linear:
+        # product form: (a) * (b) with a = f*(k' - sum), b = g*(sum - k'')
+        if not c.linear and c.constant == 0 and len(c.quadratic) == 1:
+            l, r = c.quadratic[0]
+            bl = boolean_sum_vars(l)
+            br = boolean_sum_vars(r)
+            if bl and br and bl[0] == br[0] and {bl[1], br[1]} == {0, 1}:
+                vs = bl[0]
+                if len(vs) >= 3 and not any(v in used for v in vs):
+                    used.update(vs)
+                    out.append((vs, 1, True))  # at most one set
             continue
-        k = (-c.constant) % P
-        if k > 3 or any(co != 1 for co in c.linear.values()):
+        bs = boolean_sum_vars(c)
+        if bs is None:
             continue
-        vs = tuple(sorted(c.linear))
+        vs, k = bs
         if any(v in used for v in vs):
             continue
-        if any(var_values.get(v) not in ([0, 1],) for v in vs):
-            continue
         used.update(vs)
-        out.append((vs, k))
+        out.append((vs, k, False))
     return out
 
 
@@ -68,11 +97,13 @@ def search_group(
     from itertools import combinations
 
     clusters = _one_hot_clusters(constraints, var_values)
-    clustered = {v for vs, _ in clusters for v in vs}
+    clustered = {v for vs, _, _ in clusters for v in vs}
     # blocks: (vars, list of joint assignments)
     blocks: List[Tuple[Tuple[int, ...], List[Tuple[int, ...]]]] = []
-    for cvars, k in clusters:
+    for cvars, k, allow_zero in clusters:
         assigns = []
+        if allow_zero:
+            assigns.append((0,) * len(cvars))
         for ones in combinations(range(len(cvars)), k):
             row = [0] * len(cvars)
             for i in ones:
@@ -182,7 +213,7 @@ def exhaustive_pass(
                 cand_sets += [fact_vars[i] for i in fand0]
                 for cset in cand_sets:
                     extra = cset - vs
-                    if not extra or len(extra) > 4 or len(vs) + len(extra) > max_closed_vars:
+                    if not extra or len(extra) > 6 or len(vs) + len(extra) > max_closed_vars:
                         continue
                     if all(
                         ranges.get(v) is not None

@@ -219,6 +219,18 @@ def from_expr(e: ir.Expr) -> GroupedExpression:
     raise TypeError(f"cannot convert {type(e).__name__} to GroupedExpression")
 
 
+def _balanced_add(terms: List[ir.Expr]) -> ir.Expr:
+    """Balanced Add tree: keeps recursion depth O(log n) for downstream
+    walkers and compilers even on thousand-term inlined payloads."""
+    while len(terms) > 1:
+        nxt = [
+            ir.Add(terms[i], terms[i + 1]) if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+        terms = nxt
+    return terms[0]
+
+
 def to_expr(g: GroupedExpression, names: Dict[int, str]) -> ir.Expr:
     terms: List[ir.Expr] = []
     for l, r in g.quadratic:
@@ -228,7 +240,4 @@ def to_expr(g: GroupedExpression, names: Dict[int, str]) -> ir.Expr:
         terms.append(var if c == 1 else ir.Mul(ir.Const(c), var))
     if g.constant or not terms:
         terms.append(ir.Const(g.constant))
-    out = terms[0]
-    for t in terms[1:]:
-        out = ir.Add(out, t)
-    return out
+    return _balanced_add(terms)

@@ -33,6 +33,11 @@ class Contradiction(Exception):
     pass
 
 
+def _signed_c(c: int) -> int:
+    c %= P
+    return c if c <= P // 2 else c - P
+
+
 @dataclass
 class SolveResult:
     assignments: Dict[int, int] = field(default_factory=dict)
@@ -141,7 +146,7 @@ class Solver:
             ((v, coeff),) = e.linear.items()
             self._assign(v, (-e.constant) * pow(coeff, P - 2, P) % P)
             return
-        if self._try_bit_decomposition(e):
+        if self._try_bit_decomposition(e) or self._try_bit_decomposition(-e):
             return
         if self.derive_substitutions and len(e.linear) == 2:
             # x = c*y + d equivalence: substitute the higher id (later col)
@@ -150,12 +155,64 @@ class Solver:
             if repl is not None:
                 self._substitute(v2, repl)
                 return
-        # interval propagation: v = -(rest)/cv
+        # signed-interval propagation: handles mixed-sign coefficients
+        # (e.g. byte decompositions written as -x0 - 256*x1 + C = 0)
         if len(e.linear) <= MAX_VARS_FOR_PROPAGATION:
-            for v in list(e.linear):
-                repl = e.solve_for(v)
-                if repl is not None:
-                    self._update_range(v, self.range_of(repl))
+            self._signed_interval_narrowing(e)
+
+    def _signed_interval_narrowing(self, e: GroupedExpression) -> None:
+        """For `sum c_i v_i + b = 0`, narrow each variable by solving the
+        wrap-branch arithmetic over signed intervals (reference:
+        algebraic_constraint/solve.rs range-constraint effects; this is
+        what pins byte-decomposed immediates like
+        `-x0 - 256*x1 - 65536*x2 + 31 = 0` to constants)."""
+        infos = {}
+        for v, c in e.linear.items():
+            rc = self.range_of_var(v)
+            infos[v] = None if rc.is_wrapping() else (rc.min, rc.max)
+        for v, cv0 in e.linear.items():
+            rc_v = self.range_of_var(v)
+            if rc_v.is_wrapping():
+                continue
+            lo = hi = _signed_c(e.constant)
+            ok = True
+            for u, cu in e.linear.items():
+                if u == v:
+                    continue
+                if infos[u] is None:
+                    ok = False
+                    break
+                cc = _signed_c(cu)
+                t0, t1 = cc * infos[u][0], cc * infos[u][1]
+                lo += min(t0, t1)
+                hi += max(t0, t1)
+            if not ok or hi - lo >= P:
+                continue
+            cv = _signed_c(cv0)
+            cmin = min(cv * rc_v.min, cv * rc_v.max)
+            cmax = max(cv * rc_v.min, cv * rc_v.max)
+            # cv*x = k*P - r with r in [lo, hi] for some integer k
+            k_lo = (cmin + lo) // P
+            k_hi = (cmax + hi) // P + 1
+            if k_hi - k_lo > 8:
+                continue
+            spans = []
+            for k in range(k_lo, k_hi + 1):
+                b_lo, b_hi = k * P - hi, k * P - lo
+                if cv > 0:
+                    x_lo, x_hi = -(-b_lo // cv), b_hi // cv
+                else:
+                    x_lo, x_hi = -(-b_hi // cv), b_lo // cv
+                x_lo = max(x_lo, rc_v.min)
+                x_hi = min(x_hi, rc_v.max)
+                if x_lo <= x_hi:
+                    spans.append((x_lo, x_hi))
+            if not spans:
+                raise Contradiction(f"affine constraint unsatisfiable for x{v}")
+            x_lo = min(s[0] for s in spans)
+            x_hi = max(s[1] for s in spans)
+            if (x_hi - x_lo + 1) < rc_v.range_size():
+                self._update_range(v, RangeConstraint.from_range(x_lo % P, x_hi % P))
 
     def _try_bit_decomposition(self, e: GroupedExpression) -> bool:
         """sum 2^k_i * x_i = C with disjoint shifted masks -> assignments.

@@ -217,6 +217,57 @@ def _record_index(result: ExecutionResult, program) -> List[Tuple[str, int]]:
 # -- witness generation (gather) ---------------------------------------------
 
 
+def _mod_pow_vec(base: np.ndarray, e: int) -> np.ndarray:
+    out = np.ones_like(base)
+    b = base % P
+    while e:
+        if e & 1:
+            out = out * b % P
+        b = b * b % P
+        e >>= 1
+    return out
+
+
+def _compute_derived(machine: SymbolicMachine, vals: Dict[str, np.ndarray], n_rows: int) -> None:
+    """Fill values of optimizer-created columns by evaluating the recorded
+    derived-column definitions in REVERSE derivation order: the last
+    recorded definition references only surviving columns, earlier ones may
+    reference columns defined later (reference ComputationMethod evaluation
+    in trace_generator/cpu/mod.rs:91-228 — Constant and QuotientOrZero).
+
+    Columns already present in `vals` (gathered from dummy traces) keep
+    their gathered values; placeholder definitions never override them."""
+
+    def alg():
+        return ir.Algebra(
+            add=lambda a, b: (a + b) % P,
+            sub=lambda a, b: (a + P - b) % P,
+            mul=lambda a, b: (a * b) % P,
+            neg=lambda a: (P - a) % P,
+            const=lambda v: np.full(n_rows, v % P, dtype=np.uint64),
+            col=None,
+            perm_col=None,
+            challenge=None,
+            public=None,
+            is_first=None,
+            is_last=None,
+            is_transition=None,
+            var=lambda name, id_: vals[name],
+        )
+
+    a = alg()
+    for d in reversed(machine.derived_columns):
+        if d.var.name in vals:
+            continue
+        num = ir.evaluate(d.expr, a)
+        if d.den is None:
+            vals[d.var.name] = num % P
+        else:
+            den = ir.evaluate(d.den, a)
+            inv = _mod_pow_vec(den, P - 2)
+            vals[d.var.name] = np.where(den % P == 0, 0, num * inv % P)
+
+
 def apc_chip(
     apc: VmApc,
     occurrences: List[List[int]],
@@ -233,23 +284,28 @@ def apc_chip(
 
     rec_index = _record_index(result, program)
     main = apc.machine.main_columns()  # id -> name
-    rows = []
-    for occ in occurrences:
-        # compute the original witness rows for each instruction
+    all_vars = apc.machine.variables()  # includes vars referenced by derived exprs
+    n_rows = len(occurrences)
+    # gather every referenced original column into per-name value vectors
+    vals: Dict[str, np.ndarray] = {}
+    gathered = [
+        (vid, name) for vid, name in all_vars.items() if vid in apc.subs
+    ]
+    for vid, name in gathered:
+        vals[name] = np.zeros(n_rows, dtype=np.uint64)
+    for r, occ in enumerate(occurrences):
         inst_cols: List[Dict[str, int]] = []
         for pos in occ:
             op, k = rec_index[pos]
             _, wg = reg()[op]
             inst_cols.append(wg(result.records[op][k]))
-        row = {}
-        for var_id, name in main.items():
-            i, col = apc.subs[var_id]
-            row[name] = inst_cols[i].get(col, 0) % P
-        rows.append(row)
+        for vid, name in gathered:
+            i, col = apc.subs[vid]
+            vals[name][r] = inst_cols[i].get(col, 0) % P
+    _compute_derived(apc.machine, vals, n_rows)
     cols = [main[k] for k in sorted(main)]
-    trace = {
-        c: np.array([r.get(c, 0) for r in rows], dtype=np.uint64) for c in cols
-    }
+    zero = np.zeros(n_rows, dtype=np.uint64)
+    trace = {c: vals.get(c, zero) for c in cols}
     # renumber machine vars to dense column ids? keep names — Chip traces
     # are keyed by name and the machine references names via Var
     return Chip(
