@@ -29,6 +29,13 @@ enum Opcode : int32_t {
   OP_JAL, OP_JALR,
   OP_MUL, OP_DIVU,
   OP_HALT,
+  // rv32im completion (ids match powdr_tpu/vm/isa.py OPCODES order)
+  OP_SRA, OP_SRAI, OP_SLTI, OP_SLTIU,
+  OP_BGE, OP_BGEU,
+  OP_REMU, OP_DIV, OP_REM,
+  OP_MULH, OP_MULHU, OP_MULHSU,
+  OP_LB, OP_LBU, OP_LH, OP_LHU, OP_SB, OP_SH,
+  OP_AUIPC,
 };
 
 struct Cell {
@@ -135,11 +142,16 @@ int64_t powdr_execute(
     uint32_t a, y, z;
     switch (o) {
       case OP_ADD: case OP_SUB: case OP_AND: case OP_OR: case OP_XOR:
-      case OP_MUL: case OP_SLTU: {
+      case OP_MUL: case OP_MULH: case OP_MULHU: case OP_MULHSU:
+      case OP_SLTU: case OP_SLT:
+      case OP_SLL: case OP_SRL: case OP_SRA:
+      case OP_DIVU: case OP_REMU: case OP_DIV: case OP_REM: {
         a = rd_reg(rs1[idx]);
         y = rd_reg(rs2[idx]);
         out_rs1val[steps] = a;
         out_rs2val[steps] = y;
+        int32_t sa = (int32_t)a, sy = (int32_t)y;
+        uint32_t s = y & 31;
         switch (o) {
           case OP_ADD: z = a + y; break;
           case OP_SUB: z = a - y; break;
@@ -147,34 +159,106 @@ int64_t powdr_execute(
           case OP_OR: z = a | y; break;
           case OP_XOR: z = a ^ y; break;
           case OP_MUL: z = (uint32_t)((uint64_t)a * y); break;
+          case OP_MULH: z = (uint32_t)(((int64_t)sa * sy) >> 32); break;
+          case OP_MULHU: z = (uint32_t)(((uint64_t)a * y) >> 32); break;
+          case OP_MULHSU: z = (uint32_t)(((int64_t)sa * (uint64_t)y) >> 32); break;
+          case OP_SLT: z = sa < sy ? 1 : 0; break;
+          case OP_SLL: z = a << s; break;
+          case OP_SRL: z = a >> s; break;
+          case OP_SRA: z = (uint32_t)(sa >> s); break;
+          case OP_DIVU: z = y ? a / y : MASK32; break;
+          case OP_REMU: z = y ? a % y : a; break;
+          case OP_DIV:
+            if (y == 0) z = MASK32;
+            else if (a == 0x80000000u && y == MASK32) z = a;  // overflow
+            else z = (uint32_t)(sa / sy);
+            break;
+          case OP_REM:
+            if (y == 0) z = a;
+            else if (a == 0x80000000u && y == MASK32) z = 0;
+            else z = (uint32_t)(sa % sy);
+            break;
           default: z = a < y ? 1 : 0; break;
         }
         out_rdprev[steps] = wr_reg(rd[idx], z);
         break;
       }
-      case OP_ADDI: case OP_ANDI: case OP_ORI: case OP_XORI: {
+      case OP_ADDI: case OP_ANDI: case OP_ORI: case OP_XORI:
+      case OP_SLTI: case OP_SLTIU: {
         a = rd_reg(rs1[idx]);
         out_rs1val[steps] = a;
         switch (o) {
           case OP_ADDI: z = a + im; break;
           case OP_ANDI: z = a & im; break;
           case OP_ORI: z = a | im; break;
+          case OP_SLTI: z = (int32_t)a < (int32_t)im ? 1 : 0; break;
+          case OP_SLTIU: z = a < im ? 1 : 0; break;
           default: z = a ^ im; break;
         }
         out_rdprev[steps] = wr_reg(rd[idx], z);
         break;
       }
-      case OP_SLLI: case OP_SRLI: {
+      case OP_SLLI: case OP_SRLI: case OP_SRAI: {
         a = rd_reg(rs1[idx]);
         out_rs1val[steps] = a;
         uint32_t s = im & 31;
-        z = (o == OP_SLLI) ? (a << s) : (a >> s);
+        z = (o == OP_SLLI) ? (a << s)
+            : (o == OP_SRLI) ? (a >> s)
+                             : (uint32_t)((int32_t)a >> s);
         out_rdprev[steps] = wr_reg(rd[idx], z);
         break;
       }
       case OP_LUI:
         out_rdprev[steps] = wr_reg(rd[idx], im);
         break;
+      case OP_AUIPC:
+        out_rdprev[steps] = wr_reg(rd[idx], pc + im);
+        break;
+      case OP_LB: case OP_LBU: case OP_LH: case OP_LHU: {
+        a = rd_reg(rs1[idx]);
+        out_rs1val[steps] = a;
+        uint32_t addr = a + im;
+        uint32_t align = (o == OP_LH || o == OP_LHU) ? 2 : 1;
+        if (addr % align != 0 || addr >= (1u << 30)) return -1;
+        uint32_t off = addr & 3;
+        Cell& c = mem.cell(2, addr - off);
+        pts[k] = c.ts;
+        c.ts = ts + k;
+        k++;
+        out_memval[steps] = c.val;
+        uint32_t word = c.val;
+        if (o == OP_LB || o == OP_LBU) {
+          z = (word >> (8 * off)) & 0xFF;
+          if (o == OP_LB && (z & 0x80)) z |= 0xFFFFFF00u;
+        } else {
+          z = (word >> (8 * off)) & 0xFFFF;
+          if (o == OP_LH && (z & 0x8000)) z |= 0xFFFF0000u;
+        }
+        out_rdprev[steps] = wr_reg(rd[idx], z);
+        break;
+      }
+      case OP_SB: case OP_SH: {
+        a = rd_reg(rs1[idx]);
+        y = rd_reg(rs2[idx]);
+        out_rs1val[steps] = a;
+        out_rs2val[steps] = y;
+        uint32_t addr = a + im;
+        uint32_t align = (o == OP_SH) ? 2 : 1;
+        if (addr % align != 0 || addr >= (1u << 30)) return -1;
+        uint32_t off = addr & 3;
+        Cell& c = mem.cell(2, addr - off);
+        pts[k] = c.ts;
+        out_memprev[steps] = c.val;
+        uint32_t nw;
+        if (o == OP_SB)
+          nw = (c.val & ~(0xFFu << (8 * off))) | ((y & 0xFF) << (8 * off));
+        else
+          nw = (c.val & ~(0xFFFFu << (8 * off))) | ((y & 0xFFFF) << (8 * off));
+        c.ts = ts + k;
+        c.val = nw;
+        k++;
+        break;
+      }
       case OP_LW: {
         a = rd_reg(rs1[idx]);
         out_rs1val[steps] = a;
@@ -203,12 +287,21 @@ int64_t powdr_execute(
         k++;
         break;
       }
-      case OP_BEQ: case OP_BNE: case OP_BLTU: {
+      case OP_BEQ: case OP_BNE: case OP_BLTU: case OP_BGEU:
+      case OP_BLT: case OP_BGE: {
         a = rd_reg(rs1[idx]);
         y = rd_reg(rs2[idx]);
         out_rs1val[steps] = a;
         out_rs2val[steps] = y;
-        bool taken = (o == OP_BEQ) ? (a == y) : (o == OP_BNE) ? (a != y) : (a < y);
+        bool taken;
+        switch (o) {
+          case OP_BEQ: taken = a == y; break;
+          case OP_BNE: taken = a != y; break;
+          case OP_BLTU: taken = a < y; break;
+          case OP_BGEU: taken = a >= y; break;
+          case OP_BLT: taken = (int32_t)a < (int32_t)y; break;
+          default: taken = (int32_t)a >= (int32_t)y; break;
+        }
         if (taken) next_pc = im;
         break;
       }

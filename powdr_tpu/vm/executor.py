@@ -109,21 +109,69 @@ class Executor:
                 return prev
 
             imm = ins.imm % (1 << 32)
-            if op in ("add", "sub", "and", "or", "xor", "mul", "sltu"):
+
+            def signed(v):
+                return v - (1 << 32) if v & 0x80000000 else v
+
+            if op in (
+                "add", "sub", "and", "or", "xor", "mul", "sltu", "slt",
+                "sll", "srl", "sra", "mulh", "mulhu", "mulhsu",
+                "divu", "remu", "div", "rem",
+            ):
                 a = rd_reg(ins.rs1)
                 y = rd_reg(ins.rs2)
                 rec["rs1_val"], rec["rs2_val"] = a, y
-                z = {
-                    "add": a + y,
-                    "sub": a - y,
-                    "and": a & y,
-                    "or": a | y,
-                    "xor": a ^ y,
-                    "mul": a * y,
-                    "sltu": 1 if a < y else 0,
-                }[op] & MASK32
-                rec["rd_prev"] = wr_reg(ins.rd, z)
-            elif op in ("addi", "andi", "ori", "xori"):
+                s = y & 31
+                if op == "add":
+                    z = a + y
+                elif op == "sub":
+                    z = a - y
+                elif op == "and":
+                    z = a & y
+                elif op == "or":
+                    z = a | y
+                elif op == "xor":
+                    z = a ^ y
+                elif op == "mul":
+                    z = a * y
+                elif op == "mulhu":
+                    z = (a * y) >> 32
+                elif op == "mulh":
+                    z = (signed(a) * signed(y)) >> 32
+                elif op == "mulhsu":
+                    z = (signed(a) * y) >> 32
+                elif op == "sltu":
+                    z = 1 if a < y else 0
+                elif op == "slt":
+                    z = 1 if signed(a) < signed(y) else 0
+                elif op == "sll":
+                    z = a << s
+                elif op == "srl":
+                    z = a >> s
+                elif op == "sra":
+                    z = signed(a) >> s
+                elif op == "divu":
+                    z = a // y if y else MASK32
+                elif op == "remu":
+                    z = a % y if y else a
+                elif op == "div":
+                    if y == 0:
+                        z = MASK32
+                    else:
+                        sa, sy = signed(a), signed(y)
+                        z = abs(sa) // abs(sy)
+                        if (sa < 0) != (sy < 0):
+                            z = -z
+                else:  # rem
+                    if y == 0:
+                        z = a
+                    else:
+                        sa, sy = signed(a), signed(y)
+                        z = abs(sa) % abs(sy)
+                        if sa < 0:
+                            z = -z
+                rec["rd_prev"] = wr_reg(ins.rd, z & MASK32)
+            elif op in ("addi", "andi", "ori", "xori", "slti", "sltiu"):
                 a = rd_reg(ins.rs1)
                 rec["rs1_val"] = a
                 z = {
@@ -131,16 +179,63 @@ class Executor:
                     "andi": a & imm,
                     "ori": a | imm,
                     "xori": a ^ imm,
+                    "slti": 1 if signed(a) < signed(imm) else 0,
+                    "sltiu": 1 if a < imm else 0,
                 }[op] & MASK32
                 rec["rd_prev"] = wr_reg(ins.rd, z)
-            elif op in ("slli", "srli"):
+            elif op in ("slli", "srli", "srai"):
                 a = rd_reg(ins.rs1)
                 rec["rs1_val"] = a
                 s = imm & 31
-                z = (a << s) & MASK32 if op == "slli" else a >> s
+                z = {
+                    "slli": (a << s) & MASK32,
+                    "srli": a >> s,
+                    "srai": (signed(a) >> s) & MASK32,
+                }[op]
                 rec["rd_prev"] = wr_reg(ins.rd, z)
             elif op == "lui":
                 rec["rd_prev"] = wr_reg(ins.rd, imm)
+            elif op == "auipc":
+                rec["rd_prev"] = wr_reg(ins.rd, (pc + imm) & MASK32)
+            elif op in ("lb", "lbu", "lh", "lhu"):
+                a = rd_reg(ins.rs1)
+                rec["rs1_val"] = a
+                addr = (a + imm) & MASK32
+                align = 2 if op in ("lh", "lhu") else 1
+                assert addr % align == 0 and addr < (1 << 30), f"bad addr {addr:#x}"
+                off = addr & 3
+                word_addr = addr - off
+                p, word = self._read(2, word_addr, ts + k)
+                rec["prev_ts"].append(p)
+                k += 1
+                rec["mem_val"] = word
+                if op in ("lb", "lbu"):
+                    v = (word >> (8 * off)) & 0xFF
+                    if op == "lb" and v & 0x80:
+                        v |= 0xFFFFFF00
+                else:
+                    v = (word >> (8 * off)) & 0xFFFF
+                    if op == "lh" and v & 0x8000:
+                        v |= 0xFFFF0000
+                rec["rd_prev"] = wr_reg(ins.rd, v)
+            elif op in ("sb", "sh"):
+                a = rd_reg(ins.rs1)
+                y = rd_reg(ins.rs2)
+                rec["rs1_val"], rec["rs2_val"] = a, y
+                addr = (a + imm) & MASK32
+                align = 2 if op == "sh" else 1
+                assert addr % align == 0 and addr < (1 << 30), f"bad addr {addr:#x}"
+                off = addr & 3
+                word_addr = addr - off
+                _, prev = self._cell(2, word_addr)
+                if op == "sb":
+                    new = (prev & ~(0xFF << (8 * off))) | ((y & 0xFF) << (8 * off))
+                else:
+                    new = (prev & ~(0xFFFF << (8 * off))) | ((y & 0xFFFF) << (8 * off))
+                p, prev = self._write(2, word_addr, new & MASK32, ts + k)
+                rec["prev_ts"].append(p)
+                k += 1
+                rec["mem_prev"] = prev
             elif op == "lw":
                 a = rd_reg(ins.rs1)
                 rec["rs1_val"] = a
@@ -161,11 +256,18 @@ class Executor:
                 rec["prev_ts"].append(p)
                 k += 1
                 rec["mem_prev"] = prev
-            elif op in ("beq", "bne", "bltu"):
+            elif op in ("beq", "bne", "blt", "bge", "bltu", "bgeu"):
                 a = rd_reg(ins.rs1)
                 y = rd_reg(ins.rs2)
                 rec["rs1_val"], rec["rs2_val"] = a, y
-                taken = {"beq": a == y, "bne": a != y, "bltu": a < y}[op]
+                taken = {
+                    "beq": a == y,
+                    "bne": a != y,
+                    "blt": signed(a) < signed(y),
+                    "bge": signed(a) >= signed(y),
+                    "bltu": a < y,
+                    "bgeu": a >= y,
+                }[op]
                 if taken:
                     next_pc = imm
             elif op == "jal":
@@ -195,6 +297,16 @@ class Executor:
         )
 
 
+#: opcodes that write rd (x0 writes are rejected by the assembler — the
+#: machines have no x0-discard path; compilers targeting this VM rename)
+WRITES_RD = {
+    "add", "sub", "and", "or", "xor", "sll", "srl", "sra", "slt", "sltu",
+    "addi", "andi", "ori", "xori", "slli", "srli", "srai", "slti", "sltiu",
+    "lui", "auipc", "lw", "lb", "lbu", "lh", "lhu", "jal", "jalr",
+    "mul", "mulh", "mulhu", "mulhsu", "div", "divu", "rem", "remu",
+}
+
+
 # -- assembler ---------------------------------------------------------------
 
 
@@ -215,6 +327,6 @@ def assemble(lines: List[Tuple], labels_at: Optional[Dict[str, int]] = None) -> 
         rd, rs1, rs2, imm = (list(t[1:]) + [0, 0, 0, 0])[:4]
         if isinstance(imm, str):
             imm = labels[imm]
-        assert not (op not in ("halt",) and rd == 0 and op in ("add", "addi", "lui", "lw", "jal", "jalr", "mul", "sub", "and", "or", "xor", "andi", "ori", "xori", "slli", "srli")), "writes to x0 unsupported"
+        assert not (rd == 0 and op in WRITES_RD), "writes to x0 unsupported"
         out.append(Instruction(op=op, rd=rd, rs1=rs1, rs2=rs2, imm=imm))
     return out

@@ -53,9 +53,16 @@ def _lib():
 
 # per-opcode access counts in record order (matches machines.py witgen)
 _N_ACCESS = {
-    **{op: 3 for op in ("add", "sub", "and", "or", "xor", "mul", "sltu")},
-    **{op: 2 for op in ("addi", "andi", "ori", "xori", "slli", "srli")},
-    "lui": 1, "lw": 3, "sw": 3, "beq": 2, "bne": 2, "bltu": 2,
+    **{op: 3 for op in (
+        "add", "sub", "and", "or", "xor", "mul", "mulh", "mulhu", "mulhsu",
+        "sltu", "slt", "sll", "srl", "sra", "divu", "remu", "div", "rem",
+    )},
+    **{op: 2 for op in (
+        "addi", "andi", "ori", "xori", "slti", "sltiu", "slli", "srli", "srai",
+    )},
+    "lui": 1, "auipc": 1,
+    "lw": 3, "sw": 3, "lb": 3, "lbu": 3, "lh": 3, "lhu": 3, "sb": 3, "sh": 3,
+    **{op: 2 for op in ("beq", "bne", "blt", "bge", "bltu", "bgeu")},
     "jal": 1, "jalr": 2, "halt": 0,
 }
 

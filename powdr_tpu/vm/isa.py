@@ -52,7 +52,8 @@ VM_BUS_MAP = BusMap(
     }
 )
 
-# opcode ids
+# opcode ids (full rv32im surface, openvm-riscv/src/isa/opcode.rs:9-60
+# counterpart; new opcodes append at the end to keep ids stable)
 OPCODES = [
     "add", "sub", "and", "or", "xor", "sll", "srl", "slt", "sltu",
     "addi", "andi", "ori", "xori", "slli", "srli",
@@ -62,6 +63,12 @@ OPCODES = [
     "jal", "jalr",
     "mul", "divu",
     "halt",
+    "sra", "srai", "slti", "sltiu",
+    "bge", "bgeu",
+    "remu", "div", "rem",
+    "mulh", "mulhu", "mulhsu",
+    "lb", "lbu", "lh", "lhu", "sb", "sh",
+    "auipc",
 ]
 OPCODE_ID = {name: i for i, name in enumerate(OPCODES)}
 

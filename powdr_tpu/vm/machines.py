@@ -234,35 +234,109 @@ def _alu_wg(op: str, use_imm: bool):
     return wg
 
 
-# -- constant shifts (shamt in imm) ------------------------------------------
+# -- sign handling helpers ----------------------------------------------------
 
 
-def _shift_build(op: str):
-    """slli/srli with constant shamt: multiplication by 2^shamt with an
-    8-byte product decomposition; low (sll) or high (srl) half selected.
+def _sign_split(b: MachineBuilder, ctx: Ctx, byte_expr: ir.Expr, prefix: str):
+    """Decompose a byte as 128*sign + low7 (sign bool, low7 7-bit checked).
+    Returns (sign, low7).  Counterpart of OpenVM's MSB decomposition in its
+    signed ALU chips (less-than / shift right arithmetic)."""
+    sign = b.col(f"{prefix}__sign")
+    low = b.col(f"{prefix}__low7")
+    _bool(b, sign)
+    b.require(
+        ir.Mul(ctx.g, ir.Sub(ir.Add(ir.Mul(ir.Const(128), sign), low), byte_expr))
+    )
+    b.send(RANGE_BUS, ctx.g, [low, ir.Const(7)])
+    return sign, low
 
-    product = rs1 * 2^shamt, prod bytes p0..p7 (checked), carries at each
-    byte position.  Relation: sum_i a_i 2^(8i) * 2^s = sum_k p_k 2^(8k).
-    Constraint per byte k: sum_{i} a_i * c_{k,i} + carry_{k-1} =
-    p_k + 256*carry_k where c_{k,i} is the (constant) contribution of
-    a_i to byte k of a_i*2^s."""
-    b, ctx = _base(op)
-    a = ctx.read(1, ctx.rs1, "rs1")
-    p = [b.col(f"sh__p{k}") for k in range(8)]
-    carry = [b.col(f"sh__c{k}") for k in range(8)]
-    # shamt is static per-instruction via imm; constraints reference imm
-    # symbolically through per-shamt constant tables is impossible in one
-    # machine, so the shift machine is parameterized: imm must be a
-    # constant when the APC is built; in the VM chip we use the Pow2 bus.
-    p2 = [b.col(f"sh__p2_{i}") for i in range(4)]
-    s_eff = ctx.imm_lo if op == "slli" else ir.Sub(ir.Const(32), ctx.imm_lo)
-    b.send(POW2_BUS, ctx.g, [s_eff, *p2])
+
+def _flip_msb(byte_expr: ir.Expr, sign: ir.Var) -> ir.Expr:
+    """byte XOR 0x80 given its sign decomposition: byte + 128 - 256*sign."""
+    return ir.Sub(ir.Add(byte_expr, ir.Const(128)), ir.Mul(ir.Const(256), sign))
+
+
+def _zero_flag(b: MachineBuilder, ctx: Ctx, value: ir.Expr, prefix: str) -> ir.Var:
+    """bool z = (value == 0) with inverse witness, for value with a
+    wrap-free range (e.g. a sum of checked bytes)."""
+    z = b.col(f"{prefix}__z")
+    inv = b.col(f"{prefix}__zinv")
+    _bool(b, z)
+    b.require(ir.Mul(ctx.g, ir.Mul(z, value)))
+    b.require(
+        ir.Mul(
+            ctx.g,
+            ir.Mul(ir.Sub(ir.Const(1), z), ir.Sub(ir.Mul(inv, value), ir.Const(1))),
+        )
+    )
+    return z
+
+
+def _byte_sum(xs) -> ir.Expr:
+    out: ir.Expr = xs[0]
+    for x in xs[1:]:
+        out = ir.Add(out, x)
+    return out
+
+
+def _cond_neg(b: MachineBuilder, ctx: Ctx, src, sign: ir.Expr, prefix: str):
+    """out = sign ? (2^32 - src) mod 2^32 : src, byte-wise.
+
+    Negation constraint: src + out = 2^32 * (1 - z) where z = (src == 0),
+    via a byte carry chain; when sign = 0, out = src directly."""
+    g = ctx.g
+    out = b.cols4(f"{prefix}__neg")
+    z = _zero_flag(b, ctx, _byte_sum(src), prefix)
+    c = [b.col(f"{prefix}__nc{i}") for i in range(4)]
+    for ci in c:
+        _bool(b, ci)
+    prev = None
+    for i in range(4):
+        lhs = ir.Add(src[i], out[i]) if prev is None else ir.Add(ir.Add(src[i], out[i]), prev)
+        b.require(ir.Mul(g, ir.Mul(sign, ir.Sub(lhs, ir.Mul(ir.Const(256), c[i])))))
+        prev = c[i]
+    b.require(ir.Mul(g, ir.Mul(sign, ir.Sub(c[3], ir.Sub(ir.Const(1), z)))))
+    one_m = ir.Sub(ir.Const(1), sign)
+    for i in range(4):
+        b.require(ir.Mul(g, ir.Mul(one_m, ir.Sub(out[i], src[i]))))
+    _byte_range_pair(b, g, out[0], out[1])
+    _byte_range_pair(b, g, out[2], out[3])
+    return out
+
+
+def _wg_cond_neg(cols: Dict[str, int], src: int, sign: int, prefix: str) -> int:
+    out = (-src) & 0xFFFFFFFF if sign else src
+    cols[f"{prefix}__z"] = 1 if src == 0 else 0
+    ssum = sum(_bytes(src))
+    cols[f"{prefix}__zinv"] = pow(ssum, P - 2, P) if ssum else 0
+    ob = _bytes(out)
+    sb = _bytes(src)
+    carry = 0
+    for i in range(4):
+        if sign:
+            t = sb[i] + ob[i] + carry
+            carry = t >> 8
+        else:
+            carry = 0
+        cols[f"{prefix}__nc{i}"] = carry
+        cols[f"{prefix}__neg__{i}"] = ob[i]
+    return out
+
+
+# -- unified shifts (sll/srl/sra + immediate forms) ---------------------------
+
+
+def _prod_decomp(b: MachineBuilder, ctx: Ctx, xs, ys, prefix: str):
+    """8-byte decomposition of the 4x4 byte product xs * ys with
+    CARRY_BITS-checked carries; returns the 8 product byte cols."""
+    p = [b.col(f"{prefix}__p{k}") for k in range(8)]
+    carry = [b.col(f"{prefix}__c{k}") for k in range(8)]
     for k in range(8):
         contrib = None
         for i in range(4):
             for j in range(4):
                 if i + j == k:
-                    t = ir.Mul(a[i], p2[j])
+                    t = ir.Mul(xs[i], ys[j])
                     contrib = t if contrib is None else ir.Add(contrib, t)
         if contrib is None:
             contrib = ir.Const(0)
@@ -274,38 +348,151 @@ def _shift_build(op: str):
         b.send(RANGE_BUS, ctx.g, [carry[k], ir.Const(CARRY_BITS)])
     for k in range(0, 8, 2):
         _byte_range_pair(b, ctx.g, p[k], p[k + 1])
-    z = p[:4] if op == "slli" else p[4:]
-    ctx.write(1, ctx.rd, z, "rd")
+    return p
+
+
+def _wg_prod_decomp(cols: Dict[str, int], x: int, y: int, prefix: str):
+    xb, yb = _bytes(x), _bytes(y)
+    prod = x * y
+    pb = [(prod >> (8 * k)) & 0xFF for k in range(8)]
+    carry = 0
+    for k in range(8):
+        t = sum(xb[i] * yb[j] for i in range(4) for j in range(4) if i + j == k) + carry
+        carry = (t - pb[k]) >> 8
+        cols[f"{prefix}__p{k}"] = pb[k]
+        cols[f"{prefix}__c{k}"] = carry
+    return pb
+
+
+def _shift_kind(op: str) -> str:
+    return {"sll": "sll", "slli": "sll", "srl": "srl", "srli": "srl",
+            "sra": "sra", "srai": "sra"}[op]
+
+
+def _shift_build2(op: str):
+    """Unified shift machine (sll/srl/sra and immediate forms): shamt from
+    rs2's low byte (s + 32*q decomposition) or from imm_lo; 2^s_eff via the
+    Pow2 bus; result from an 8-byte product decomposition.  srl/sra select
+    the high half of a * 2^(32-s) with an explicit s==0 flag; sra adds the
+    sign mask m = 2^32 - 2^(32-s) (byte carry chain against the same Pow2
+    value).  Counterpart of OpenVM's ShiftChip (reference rv32im surface,
+    openvm-riscv/src/isa/opcode.rs:9-60)."""
+    imm_form = op.endswith("i")
+    kind = _shift_kind(op)
+    b, ctx = _base(op)
+    g = ctx.g
+    a = ctx.read(1, ctx.rs1, "rs1")
+    if imm_form:
+        s: ir.Expr = ctx.imm_lo
+        b.send(RANGE_BUS, g, [s, ir.Const(5)])
+    else:
+        y = ctx.read(1, ctx.rs2, "rs2")
+        s = b.col("sh__s")
+        q = b.col("sh__q")
+        b.require(ir.Mul(g, ir.Sub(ir.Add(s, ir.Mul(ir.Const(32), q)), y[0])))
+        b.send(RANGE_BUS, g, [s, ir.Const(5)])
+        b.send(RANGE_BUS, g, [q, ir.Const(3)])
+    p2 = b.cols4("sh__p2")
+    if kind == "sll":
+        b.send(POW2_BUS, g, [s, *p2])
+        p = _prod_decomp(b, ctx, a, p2, "sh")
+        ctx.write(1, ctx.rd, p[:4], "rd")
+    else:
+        z0 = _zero_flag(b, ctx, s, "sh_s0")
+        s_eff = b.col("sh__seff")
+        b.require(
+            ir.Mul(
+                g,
+                ir.Sub(
+                    s_eff,
+                    ir.Mul(ir.Sub(ir.Const(1), z0), ir.Sub(ir.Const(32), s)),
+                ),
+            )
+        )
+        b.send(POW2_BUS, g, [s_eff, *p2])
+        p = _prod_decomp(b, ctx, a, p2, "sh")
+        out = b.cols4("sh__out")
+        if kind == "srl":
+            for i in range(4):
+                sel = ir.Add(
+                    ir.Mul(z0, a[i]), ir.Mul(ir.Sub(ir.Const(1), z0), p[4 + i])
+                )
+                b.require(ir.Mul(g, ir.Sub(out[i], sel)))
+        else:  # sra
+            sa, _ = _sign_split(b, ctx, a[3], "sh_sign")
+            m = b.cols4("sh__m")
+            c = [b.col(f"sh__mc{i}") for i in range(4)]
+            for ci in c:
+                _bool(b, ci)
+            prev = None
+            for i in range(4):
+                lhs = ir.Add(m[i], p2[i]) if prev is None else ir.Add(ir.Add(m[i], p2[i]), prev)
+                b.require(ir.Mul(g, ir.Sub(lhs, ir.Mul(ir.Const(256), c[i]))))
+                prev = c[i]
+            b.require(ir.Mul(g, ir.Sub(c[3], ir.Const(1))))
+            _byte_range_pair(b, g, m[0], m[1])
+            _byte_range_pair(b, g, m[2], m[3])
+            for i in range(4):
+                hi = ir.Add(p[4 + i], ir.Mul(sa, m[i]))
+                sel = ir.Add(ir.Mul(z0, a[i]), ir.Mul(ir.Sub(ir.Const(1), z0), hi))
+                b.require(ir.Mul(g, ir.Sub(out[i], sel)))
+        ctx.write(1, ctx.rd, out, "rd")
     ctx.finish()
     return b
 
 
-def _shift_wg(op: str):
+def _shift_wg2(op: str):
+    imm_form = op.endswith("i")
+    kind = _shift_kind(op)
+
     def wg(rec):
         cols = _wg_base(rec)
         t0 = rec["ts"]
         a = rec["rs1_val"]
-        s = rec["imm"] & 31
         _wg_access(cols, "rs1", _bytes(a), rec["prev_ts"][0], t0)
-        if op == "srli":
-            # product written for shift 32-s puts the result in the high half
-            s_eff = 32 - s if s else 0
+        if imm_form:
+            s = rec["imm"] & 31
+            nxt = 1
         else:
+            yv = rec["rs2_val"]
+            _wg_access(cols, "rs2", _bytes(yv), rec["prev_ts"][1], t0 + 1)
+            s = yv & 31
+            cols["sh__s"] = s
+            cols["sh__q"] = (yv & 0xFF) >> 5
+            nxt = 2
+        if kind == "sll":
             s_eff = s
+        else:
+            cols["sh_s0__z"] = 1 if s == 0 else 0
+            cols["sh_s0__zinv"] = pow(s, P - 2, P) if s else 0
+            s_eff = 0 if s == 0 else 32 - s
+            cols["sh__seff"] = s_eff
         p2 = 1 << s_eff
-        p2b = [(p2 >> (8 * i)) & 0xFF for i in range(4)]
-        for i in range(4):
-            cols[f"sh__p2_{i}"] = p2b[i]
-        ab = _bytes(a)
-        prod = a * p2
-        pb = [(prod >> (8 * k)) & 0xFF for k in range(8)]
-        carry = 0
-        for k in range(8):
-            t = sum(ab[i] * p2b[j] for i in range(4) for j in range(4) if i + j == k) + carry
-            carry = (t - pb[k]) >> 8
-            cols[f"sh__p{k}"] = pb[k]
-            cols[f"sh__c{k}"] = carry
-        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][1], t0 + 1)
+        for i, v in enumerate(_bytes(p2)):
+            cols[f"sh__p2__{i}"] = v
+        _wg_prod_decomp(cols, a, p2 & 0xFFFFFFFF, "sh")
+        if kind == "srl":
+            z = a >> s
+            for i, v in enumerate(_bytes(z)):
+                cols[f"sh__out__{i}"] = v
+        elif kind == "sra":
+            sa = (a >> 31) & 1
+            cols["sh_sign__sign"] = sa
+            cols["sh_sign__low7"] = (a >> 24) & 0x7F
+            m = (0x100000000 - p2) & 0xFFFFFFFF
+            mb = _bytes(m)
+            p2b = _bytes(p2)
+            carry = 0
+            for i in range(4):
+                t = mb[i] + p2b[i] + carry
+                carry = t >> 8
+                cols[f"sh__m__{i}"] = mb[i]
+                cols[f"sh__mc{i}"] = carry
+            signed = a - (1 << 32) if sa else a
+            z = (signed >> s) & 0xFFFFFFFF
+            for i, v in enumerate(_bytes(z)):
+                cols[f"sh__out__{i}"] = v
+        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][nxt], t0 + nxt)
         return cols
 
     return wg
@@ -358,6 +545,274 @@ def _mul_wg(rec):
         cols[f"mul__p{k}"] = pb[k]
         cols[f"mul__c{k}"] = carry
     _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][2], t0 + 2)
+    return cols
+
+
+# -- mul high half (mulhu / mulh / mulhsu) ------------------------------------
+
+
+def _mulh_build(op: str):
+    """High 32 bits of the 64-bit product.  Signed corrections use the
+    identity (a - 2^32 sa)(y - 2^32 sy) = ay - 2^32(sa y + sy a) + 2^64 sa sy,
+    so the signed high word is p_hi - sa*y - sy*a (mod 2^32), realized as a
+    byte borrow chain (borrows < 4, 2-bit checked)."""
+    b, ctx = _base(op)
+    g = ctx.g
+    a = ctx.read(1, ctx.rs1, "rs1")
+    y = ctx.read(1, ctx.rs2, "rs2")
+    p = _prod_decomp(b, ctx, a, y, "mul")
+    if op == "mulhu":
+        ctx.write(1, ctx.rd, p[4:], "rd")
+        ctx.finish()
+        return b
+    sa, _ = _sign_split(b, ctx, a[3], "mh_sa")
+    terms = [(sa, y)]
+    if op == "mulh":
+        sy, _ = _sign_split(b, ctx, y[3], "mh_sy")
+        terms.append((sy, a))
+    h = b.cols4("mh__h")
+    bor = [b.col(f"mh__b{i}") for i in range(4)]
+    prev = None
+    for i in range(4):
+        rhs = h[i]
+        for s_, v_ in terms:
+            rhs = ir.Add(rhs, ir.Mul(s_, v_[i]))
+        if prev is not None:
+            rhs = ir.Add(rhs, prev)
+        b.require(
+            ir.Mul(g, ir.Sub(ir.Add(p[4 + i], ir.Mul(ir.Const(256), bor[i])), rhs))
+        )
+        b.send(RANGE_BUS, g, [bor[i], ir.Const(2)])
+        prev = bor[i]
+    _byte_range_pair(b, g, h[0], h[1])
+    _byte_range_pair(b, g, h[2], h[3])
+    ctx.write(1, ctx.rd, h, "rd")
+    ctx.finish()
+    return b
+
+
+def _mulh_wg(op: str):
+    def wg(rec):
+        cols = _wg_base(rec)
+        t0 = rec["ts"]
+        a, y = rec["rs1_val"], rec["rs2_val"]
+        _wg_access(cols, "rs1", _bytes(a), rec["prev_ts"][0], t0)
+        _wg_access(cols, "rs2", _bytes(y), rec["prev_ts"][1], t0 + 1)
+        _wg_prod_decomp(cols, a, y, "mul")
+        if op != "mulhu":
+            sa = (a >> 31) & 1
+            cols["mh_sa__sign"] = sa
+            cols["mh_sa__low7"] = (a >> 24) & 0x7F
+            terms = [(sa, y)]
+            if op == "mulh":
+                sy = (y >> 31) & 1
+                cols["mh_sy__sign"] = sy
+                cols["mh_sy__low7"] = (y >> 24) & 0x7F
+                terms.append((sy, a))
+            p_hi = (a * y) >> 32
+            sub = sum(s_ * v_ for s_, v_ in terms)
+            hval = (p_hi - sub) & 0xFFFFFFFF
+            hb = _bytes(hval)
+            phb = _bytes(p_hi & 0xFFFFFFFF)
+            borrow = 0
+            for i in range(4):
+                rhs = hb[i] + sum(s_ * _bytes(v_)[i] for s_, v_ in terms) + borrow
+                borrow = (rhs - phb[i]) >> 8
+                cols[f"mh__h__{i}"] = hb[i]
+                cols[f"mh__b{i}"] = borrow
+        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][2], t0 + 2)
+        return cols
+
+    return wg
+
+
+# -- division (divu / remu / div / rem) ---------------------------------------
+
+
+def _divmod_core(b: MachineBuilder, ctx: Ctx, a, y, prefix: str):
+    """Constrain q, r with a = q*y + r over the integers, r < y when
+    y != 0, and the RISC-V y == 0 convention q = 2^32-1, r = a.  All of
+    a, y given as byte cols/exprs; returns (q, r, zy) byte cols + flag."""
+    g = ctx.g
+    q = b.cols4(f"{prefix}__q")
+    r = b.cols4(f"{prefix}__r")
+    _byte_range_pair(b, g, q[0], q[1])
+    _byte_range_pair(b, g, q[2], q[3])
+    _byte_range_pair(b, g, r[0], r[1])
+    _byte_range_pair(b, g, r[2], r[3])
+    p = _prod_decomp(b, ctx, q, y, prefix)
+    # a = p[0:4] + r byte-wise; wrap impossible: p[4:] + final carry = 0
+    cc = [b.col(f"{prefix}__cc{i}") for i in range(4)]
+    for c in cc:
+        _bool(b, c)
+    prev = None
+    for i in range(4):
+        rhs = ir.Add(p[i], r[i]) if prev is None else ir.Add(ir.Add(p[i], r[i]), prev)
+        b.require(
+            ir.Mul(g, ir.Sub(ir.Add(a[i], ir.Mul(ir.Const(256), cc[i])), rhs))
+        )
+        prev = cc[i]
+    b.require(
+        ir.Mul(g, ir.Add(ir.Add(ir.Add(p[4], p[5]), ir.Add(p[6], p[7])), cc[3]))
+    )
+    zy = _zero_flag(b, ctx, _byte_sum(y), f"{prefix}_y")
+    one_m = ir.Sub(ir.Const(1), zy)
+    # y == 0: q = 2^32-1, r = a
+    for i in range(4):
+        b.require(ir.Mul(g, ir.Mul(zy, ir.Sub(q[i], ir.Const(255)))))
+        b.require(ir.Mul(g, ir.Mul(zy, ir.Sub(r[i], a[i]))))
+    # y != 0: r < y
+    lt = _ltu_flag(b, ctx, r, y, prefix=f"{prefix}_lt")
+    b.require(ir.Mul(g, ir.Mul(one_m, ir.Sub(lt, ir.Const(1)))))
+    return q, r, zy
+
+
+def _wg_divmod_core(cols: Dict[str, int], a: int, y: int, prefix: str):
+    if y == 0:
+        qv, rv = 0xFFFFFFFF, a
+    else:
+        qv, rv = a // y, a % y
+    for i, v in enumerate(_bytes(qv)):
+        cols[f"{prefix}__q__{i}"] = v
+    for i, v in enumerate(_bytes(rv)):
+        cols[f"{prefix}__r__{i}"] = v
+    _wg_prod_decomp(cols, qv, y, prefix)
+    pb = _bytes((qv * y) & 0xFFFFFFFF)
+    rb, ab = _bytes(rv), _bytes(a)
+    carry = 0
+    for i in range(4):
+        t = pb[i] + rb[i] + carry
+        carry = (t - ab[i]) >> 8
+        cols[f"{prefix}__cc{i}"] = carry
+    ysum = sum(_bytes(y))
+    cols[f"{prefix}_y__z"] = 1 if y == 0 else 0
+    cols[f"{prefix}_y__zinv"] = pow(ysum, P - 2, P) if ysum else 0
+    borrow = 0
+    yb = _bytes(y)
+    for i in range(4):
+        d = rb[i] - yb[i] - borrow
+        borrow = 1 if d < 0 else 0
+        cols[f"{prefix}_lt__b{i}"] = borrow
+        cols[f"{prefix}_lt__d{i}"] = d + 256 * borrow
+    return qv, rv
+
+
+def _divu_build(op: str):
+    """divu/remu: a = q*y + r with r < y (y != 0) or the q = -1, r = a
+    convention (reference rv32im div chips)."""
+    b, ctx = _base(op)
+    a = ctx.read(1, ctx.rs1, "rs1")
+    y = ctx.read(1, ctx.rs2, "rs2")
+    q, r, _ = _divmod_core(b, ctx, a, y, "dv")
+    ctx.write(1, ctx.rd, q if op == "divu" else r, "rd")
+    ctx.finish()
+    return b
+
+
+def _divu_wg(op: str):
+    def wg(rec):
+        cols = _wg_base(rec)
+        t0 = rec["ts"]
+        a, y = rec["rs1_val"], rec["rs2_val"]
+        _wg_access(cols, "rs1", _bytes(a), rec["prev_ts"][0], t0)
+        _wg_access(cols, "rs2", _bytes(y), rec["prev_ts"][1], t0 + 1)
+        _wg_divmod_core(cols, a, y, "dv")
+        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][2], t0 + 2)
+        return cols
+
+    return wg
+
+
+def _div_build(op: str):
+    """Signed div/rem via magnitudes: |a| = qm*|y| + rm, rm < |y|; result
+    signs from sa xor sy (quotient) / sa (remainder); two's-complement
+    conditional negations; y == 0 gives q = -1, r = a; the overflow case
+    -2^31 / -1 falls out of the magnitude path naturally."""
+    b, ctx = _base(op)
+    g = ctx.g
+    a = ctx.read(1, ctx.rs1, "rs1")
+    y = ctx.read(1, ctx.rs2, "rs2")
+    sa, _ = _sign_split(b, ctx, a[3], "dv_sa")
+    sy, _ = _sign_split(b, ctx, y[3], "dv_sy")
+    abs_a = _cond_neg(b, ctx, a, sa, "dv_absa")
+    abs_y = _cond_neg(b, ctx, y, sy, "dv_absy")
+    qm, rm, zy = _divmod_core(b, ctx, abs_a, abs_y, "dv")
+    sq = ir.Sub(ir.Add(sa, sy), ir.Mul(ir.Const(2), ir.Mul(sa, sy)))  # sa xor sy
+    sq_col = b.col("dv__sq")
+    b.require(ir.Mul(g, ir.Sub(sq_col, sq)))
+    qs = _cond_neg(b, ctx, qm, sq_col, "dv_qs")
+    rs = _cond_neg(b, ctx, rm, sa, "dv_rs")
+    # y == 0 override: q = -1 (all 255), r = a
+    out = b.cols4("dv__out")
+    src = (qs, 255) if op == "div" else (rs, None)
+    one_m = ir.Sub(ir.Const(1), zy)
+    for i in range(4):
+        if op == "div":
+            b.require(ir.Mul(g, ir.Mul(zy, ir.Sub(out[i], ir.Const(255)))))
+        else:
+            b.require(ir.Mul(g, ir.Mul(zy, ir.Sub(out[i], a[i]))))
+        b.require(ir.Mul(g, ir.Mul(one_m, ir.Sub(out[i], src[0][i]))))
+    ctx.write(1, ctx.rd, out, "rd")
+    ctx.finish()
+    return b
+
+
+def _div_wg(op: str):
+    def wg(rec):
+        cols = _wg_base(rec)
+        t0 = rec["ts"]
+        a, y = rec["rs1_val"], rec["rs2_val"]
+        _wg_access(cols, "rs1", _bytes(a), rec["prev_ts"][0], t0)
+        _wg_access(cols, "rs2", _bytes(y), rec["prev_ts"][1], t0 + 1)
+        sa, sy = (a >> 31) & 1, (y >> 31) & 1
+        cols["dv_sa__sign"], cols["dv_sa__low7"] = sa, (a >> 24) & 0x7F
+        cols["dv_sy__sign"], cols["dv_sy__low7"] = sy, (y >> 24) & 0x7F
+        abs_a = _wg_cond_neg(cols, a, sa, "dv_absa")
+        abs_y = _wg_cond_neg(cols, y, sy, "dv_absy")
+        qm, rm = _wg_divmod_core(cols, abs_a, abs_y, "dv")
+        sq = sa ^ sy
+        cols["dv__sq"] = sq
+        qs = _wg_cond_neg(cols, qm, sq, "dv_qs")
+        rs = _wg_cond_neg(cols, rm, sa, "dv_rs")
+        if y == 0:
+            outv = 0xFFFFFFFF if op == "div" else a
+        else:
+            outv = qs if op == "div" else rs
+        for i, v in enumerate(_bytes(outv)):
+            cols[f"dv__out__{i}"] = v
+        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][2], t0 + 2)
+        return cols
+
+    return wg
+
+
+# -- auipc --------------------------------------------------------------------
+
+
+def _auipc_build():
+    """rd = pc + imm (mod 2^32): pc decomposed into checked bytes (unique
+    since pc < 2^30), then byte addition with the imm bytes."""
+    b, ctx = _base("auipc")
+    g = ctx.g
+    pcb = b.cols4("pc_b")
+    b.require(ir.Mul(g, ir.Sub(_word(pcb), ctx.pc)))
+    _byte_range_pair(b, g, pcb[0], pcb[1])
+    _byte_range_pair(b, g, pcb[2], pcb[3])
+    b.send(RANGE_BUS, g, [pcb[3], ir.Const(6)])
+    out = _add_bytes(b, g, pcb, _imm_cols(b, ctx), "aui")
+    ctx.write(1, ctx.rd, out, "rd")
+    ctx.finish()
+    return b
+
+
+def _auipc_wg(rec):
+    cols = _wg_base(rec)
+    for i, v in enumerate(_bytes(rec["pc"])):
+        cols[f"pc_b__{i}"] = v
+    for i, v in enumerate(_bytes(rec["imm"])):
+        cols[f"imm_b__{i}"] = v
+    _wg_add_bytes(cols, rec["pc"], rec["imm"], "aui")
+    _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][0], rec["ts"])
     return cols
 
 
@@ -430,6 +885,250 @@ def _sw_wg(rec):
     return cols
 
 
+# -- sub-word memory (lb/lbu/lh/lhu/sb/sh) ------------------------------------
+
+
+def _subword_addr(b: MachineBuilder, ctx: Ctx, halfword: bool):
+    """Byte address = rs1 + imm; decompose the low byte as 4*w + off and
+    return (aligned word ptr expr, offset indicator cols).  Memory stays
+    word-granular (OpenVM-style adapters over a word memory bus)."""
+    g = ctx.g
+    base = ctx.read(1, ctx.rs1, "rs1")
+    addr = _add_bytes(b, g, base, _imm_cols(b, ctx), "addr")
+    b.send(RANGE_BUS, g, [addr[3], ir.Const(6)])
+    w = b.col("mem__w")
+    b.send(RANGE_BUS, g, [w, ir.Const(6)])
+    if halfword:
+        o2 = b.col("mem__o2")
+        _bool(b, o2)
+        off = ir.Mul(ir.Const(2), o2)
+        inds = [ir.Sub(ir.Const(1), o2), o2]
+    else:
+        o = [b.col(f"mem__o{i}") for i in range(4)]
+        for oi in o:
+            _bool(b, oi)
+        b.require(
+            ir.Mul(g, ir.Sub(_byte_sum(o), ir.Const(1)))
+        )
+        off = ir.Add(o[1], ir.Add(ir.Mul(ir.Const(2), o[2]), ir.Mul(ir.Const(3), o[3])))
+        inds = o
+    b.require(ir.Mul(g, ir.Sub(ir.Add(ir.Mul(ir.Const(4), w), off), addr[0])))
+    ptr = ir.Sub(_word(addr), off)
+    return ptr, inds
+
+
+def _wg_subword_addr(cols, rec, halfword: bool):
+    a = rec["rs1_val"]
+    addr = (a + rec["imm"]) & 0xFFFFFFFF
+    for i, v in enumerate(_bytes(rec["imm"])):
+        cols[f"imm_b__{i}"] = v
+    _wg_add_bytes(cols, a, rec["imm"], "addr")
+    off = addr & (1 if halfword else 3)
+    if halfword:
+        off = addr & 2
+        cols["mem__o2"] = off >> 1
+    else:
+        for i in range(4):
+            cols[f"mem__o{i}"] = 1 if (addr & 3) == i else 0
+        off = addr & 3
+    cols["mem__w"] = (addr & 0xFF) >> 2
+    return addr - off, off
+
+
+def _load_sub_build(op: str):
+    """lb/lbu/lh/lhu: word read + indicator-selected bytes, sign extension
+    via MSB decomposition of the selected top byte."""
+    halfword = op in ("lh", "lhu")
+    signed = op in ("lb", "lh")
+    b, ctx = _base(op)
+    g = ctx.g
+    ptr, inds = _subword_addr(b, ctx, halfword)
+    data = ctx.read(2, ptr, "mem")
+    if halfword:
+        v0 = b.col("mem__v0")
+        v1 = b.col("mem__v1")
+        b.require(
+            ir.Mul(g, ir.Sub(v0, ir.Add(ir.Mul(inds[0], data[0]), ir.Mul(inds[1], data[2]))))
+        )
+        b.require(
+            ir.Mul(g, ir.Sub(v1, ir.Add(ir.Mul(inds[0], data[1]), ir.Mul(inds[1], data[3]))))
+        )
+        if signed:
+            sv, _ = _sign_split(b, ctx, v1, "mem_sv")
+            ext = ir.Mul(ir.Const(255), sv)
+            out = [v0, v1, ext, ext]
+        else:
+            out = [v0, v1, ir.Const(0), ir.Const(0)]
+    else:
+        v = b.col("mem__v")
+        sel = None
+        for oi, di in zip(inds, data):
+            t = ir.Mul(oi, di)
+            sel = t if sel is None else ir.Add(sel, t)
+        b.require(ir.Mul(g, ir.Sub(v, sel)))
+        if signed:
+            sv, _ = _sign_split(b, ctx, v, "mem_sv")
+            ext = ir.Mul(ir.Const(255), sv)
+            out = [v, ext, ext, ext]
+        else:
+            out = [v, ir.Const(0), ir.Const(0), ir.Const(0)]
+    ctx.write(1, ctx.rd, out, "rd")
+    ctx.finish()
+    return b
+
+
+def _load_sub_wg(op: str):
+    halfword = op in ("lh", "lhu")
+    signed = op in ("lb", "lh")
+
+    def wg(rec):
+        cols = _wg_base(rec)
+        t0 = rec["ts"]
+        _wg_access(cols, "rs1", _bytes(rec["rs1_val"]), rec["prev_ts"][0], t0)
+        _, off = _wg_subword_addr(cols, rec, halfword)
+        word = rec["mem_val"]
+        _wg_access(cols, "mem", _bytes(word), rec["prev_ts"][1], t0 + 1)
+        wb = _bytes(word)
+        if halfword:
+            v0, v1 = wb[off], wb[off + 1]
+            cols["mem__v0"], cols["mem__v1"] = v0, v1
+            if signed:
+                cols["mem_sv__sign"] = v1 >> 7
+                cols["mem_sv__low7"] = v1 & 0x7F
+        else:
+            v = wb[off]
+            cols["mem__v"] = v
+            if signed:
+                cols["mem_sv__sign"] = v >> 7
+                cols["mem_sv__low7"] = v & 0x7F
+        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][2], t0 + 2)
+        return cols
+
+    return wg
+
+
+def _store_sub_build(op: str):
+    """sb/sh: read-modify-write of the aligned word; the new word blends
+    the source bytes in at the indicator positions."""
+    halfword = op == "sh"
+    b, ctx = _base(op)
+    g = ctx.g
+    # _subword_addr reads rs1 first; rs2 is read after (ts order)
+    ptr, inds = _subword_addr(b, ctx, halfword)
+    src = ctx.read(1, ctx.rs2, "rs2")
+    prev = b.cols4("mem__prev_data")
+    prev_ts = b.col("mem__prev_ts")
+    dt = b.col("mem__dt")
+    t = ir.Add(ctx.ts, ir.Const(ctx.n_access))
+    ctx.n_access += 1
+    nw = b.cols4("mem__new")
+    if halfword:
+        pairs = [(inds[0], 0), (inds[1], 2)]
+        for i in range(4):
+            sel_src = None
+            for oi, pos in pairs:
+                if i == pos:
+                    sel_src = (oi, src[0])
+                elif i == pos + 1:
+                    sel_src = (oi, src[1])
+            oi, s_ = sel_src
+            blended = ir.Add(ir.Mul(oi, s_), ir.Mul(ir.Sub(ir.Const(1), oi), prev[i]))
+            b.require(ir.Mul(g, ir.Sub(nw[i], blended)))
+    else:
+        for i in range(4):
+            oi = inds[i]
+            blended = ir.Add(ir.Mul(oi, src[0]), ir.Mul(ir.Sub(ir.Const(1), oi), prev[i]))
+            b.require(ir.Mul(g, ir.Sub(nw[i], blended)))
+    b.receive(MEM_BUS, g, [ir.Const(2), ptr, *prev, prev_ts])
+    b.send(MEM_BUS, g, [ir.Const(2), ptr, *nw, t])
+    b.require(ir.Mul(g, ir.Sub(dt, ir.Sub(ir.Sub(t, prev_ts), ir.Const(1)))))
+    from .isa import DT_BITS
+
+    b.send(RANGE_BUS, g, [dt, ir.Const(DT_BITS)])
+    ctx.finish()
+    return b
+
+
+def _store_sub_wg(op: str):
+    halfword = op == "sh"
+
+    def wg(rec):
+        cols = _wg_base(rec)
+        t0 = rec["ts"]
+        _wg_access(cols, "rs1", _bytes(rec["rs1_val"]), rec["prev_ts"][0], t0)
+        _, off = _wg_subword_addr(cols, rec, halfword)
+        _wg_access(cols, "rs2", _bytes(rec["rs2_val"]), rec["prev_ts"][1], t0 + 1)
+        prev_word = rec["mem_prev"]
+        pb = _bytes(prev_word)
+        sb_ = _bytes(rec["rs2_val"])
+        nb = list(pb)
+        nb[off] = sb_[0]
+        if halfword:
+            nb[off + 1] = sb_[1]
+        for i in range(4):
+            cols[f"mem__prev_data__{i}"] = pb[i]
+            cols[f"mem__new__{i}"] = nb[i]
+        cols["mem__prev_ts"] = rec["prev_ts"][2]
+        cols["mem__dt"] = (t0 + 2) - rec["prev_ts"][2] - 1
+        return cols
+
+    return wg
+
+
+# -- slt family ---------------------------------------------------------------
+
+
+def _slt_build(op: str):
+    """slt/slti/sltu(reg)/sltiu: borrow-chain unsigned comparison, with the
+    MSB-flip trick for the signed forms."""
+    signed = op in ("slt", "slti")
+    imm_form = op in ("slti", "sltiu")
+    b, ctx = _base(op)
+    a = ctx.read(1, ctx.rs1, "rs1")
+    y = _imm_cols(b, ctx) if imm_form else ctx.read(1, ctx.rs2, "rs2")
+    if signed:
+        am, ym = _signed_flip(b, ctx, a, y, "cmp_sa", "cmp_sy")
+    else:
+        am, ym = a, y
+    lt = _ltu_flag(b, ctx, am, ym, prefix="cmp")
+    ctx.write(1, ctx.rd, [lt, ir.Const(0), ir.Const(0), ir.Const(0)], "rd")
+    ctx.finish()
+    return b
+
+
+def _slt_wg(op: str):
+    signed = op in ("slt", "slti")
+    imm_form = op in ("slti", "sltiu")
+
+    def wg(rec):
+        cols = _wg_base(rec)
+        t0 = rec["ts"]
+        a = rec["rs1_val"]
+        _wg_access(cols, "rs1", _bytes(a), rec["prev_ts"][0], t0)
+        if imm_form:
+            y = rec["imm"]
+            for i, v in enumerate(_bytes(y)):
+                cols[f"imm_b__{i}"] = v
+            nxt = 1
+        else:
+            y = rec["rs2_val"]
+            _wg_access(cols, "rs2", _bytes(y), rec["prev_ts"][1], t0 + 1)
+            nxt = 2
+        av, yv = a, y
+        if signed:
+            av, yv = _wg_signed_flip(cols, a, y, "cmp_sa", "cmp_sy")
+        borrow = 0
+        for i in range(4):
+            d = _bytes(av)[i] - _bytes(yv)[i] - borrow
+            borrow = 1 if d < 0 else 0
+            cols[f"cmp__b{i}"] = borrow
+            cols[f"cmp__d{i}"] = d + 256 * borrow
+        _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][nxt], t0 + nxt)
+        return cols
+
+    return wg
+
+
 # -- branches -----------------------------------------------------------------
 
 
@@ -469,6 +1168,22 @@ def _ltu_flag(b: MachineBuilder, ctx: Ctx, a, y, prefix="br"):
     return borrow[3]
 
 
+def _signed_flip(b: MachineBuilder, ctx: Ctx, a, y, pa: str, pb: str):
+    """MSB-flipped byte lists for signed comparison: ltu over the flipped
+    values equals signed lt (x XOR 0x80000000 order trick)."""
+    sa, _ = _sign_split(b, ctx, a[3], pa)
+    sy, _ = _sign_split(b, ctx, y[3], pb)
+    am = [a[0], a[1], a[2], _flip_msb(a[3], sa)]
+    ym = [y[0], y[1], y[2], _flip_msb(y[3], sy)]
+    return am, ym
+
+
+def _wg_signed_flip(cols, a, y, pa, pb):
+    cols[f"{pa}__sign"], cols[f"{pa}__low7"] = (a >> 31) & 1, (a >> 24) & 0x7F
+    cols[f"{pb}__sign"], cols[f"{pb}__low7"] = (y >> 31) & 1, (y >> 24) & 0x7F
+    return a ^ 0x80000000, y ^ 0x80000000
+
+
 def _branch_build(op: str):
     b, ctx = _base(op)
     a = ctx.read(1, ctx.rs1, "rs1")
@@ -476,9 +1191,13 @@ def _branch_build(op: str):
     if op in ("beq", "bne"):
         flag = _eq_flag(b, ctx, a, y)
         taken = flag if op == "beq" else ir.Sub(ir.Const(1), flag)
-    else:  # bltu
+    elif op in ("bltu", "bgeu"):
         lt = _ltu_flag(b, ctx, a, y)
-        taken = lt
+        taken = lt if op == "bltu" else ir.Sub(ir.Const(1), lt)
+    else:  # blt / bge: signed via MSB flip
+        am, ym = _signed_flip(b, ctx, a, y, "br_sa", "br_sy")
+        lt = _ltu_flag(b, ctx, am, ym)
+        taken = lt if op == "blt" else ir.Sub(ir.Const(1), lt)
     fall = ir.Add(ctx.pc, ir.Const(4))
     to_pc = ir.Add(fall, ir.Mul(taken, ir.Sub(ctx.imm_field(), fall)))
     ctx.finish(to_pc)
@@ -497,9 +1216,12 @@ def _branch_wg(op: str):
             cols["br__eq"] = 1 if a == y else 0
             cols["br__inv"] = pow(nz, P - 2, P) if nz else 0
         else:
+            av, yv = a, y
+            if op in ("blt", "bge"):
+                av, yv = _wg_signed_flip(cols, a, y, "br_sa", "br_sy")
             borrow = 0
             for i in range(4):
-                d = _bytes(a)[i] - _bytes(y)[i] - borrow
+                d = _bytes(av)[i] - _bytes(yv)[i] - borrow
                 borrow = 1 if d < 0 else 0
                 cols[f"br__b{i}"] = borrow
                 cols[f"br__d{i}"] = d + 256 * borrow
@@ -509,32 +1231,6 @@ def _branch_wg(op: str):
 
 
 # -- jumps --------------------------------------------------------------------
-
-
-def _sltu_build():
-    b, ctx = _base("sltu")
-    a = ctx.read(1, ctx.rs1, "rs1")
-    y = ctx.read(1, ctx.rs2, "rs2")
-    lt = _ltu_flag(b, ctx, a, y, prefix="cmp")
-    ctx.write(1, ctx.rd, [lt, ir.Const(0), ir.Const(0), ir.Const(0)], "rd")
-    ctx.finish()
-    return b
-
-
-def _sltu_wg(rec):
-    cols = _wg_base(rec)
-    t0 = rec["ts"]
-    a, y = rec["rs1_val"], rec["rs2_val"]
-    _wg_access(cols, "rs1", _bytes(a), rec["prev_ts"][0], t0)
-    _wg_access(cols, "rs2", _bytes(y), rec["prev_ts"][1], t0 + 1)
-    borrow = 0
-    for i in range(4):
-        d = _bytes(a)[i] - _bytes(y)[i] - borrow
-        borrow = 1 if d < 0 else 0
-        cols[f"cmp__b{i}"] = borrow
-        cols[f"cmp__d{i}"] = d + 256 * borrow
-    _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][2], t0 + 2)
-    return cols
 
 
 def _jal_build():
@@ -603,14 +1299,26 @@ def _build_all():
         out[op] = (_alu_build(op, False), _alu_wg(op, False))
     for op in ("addi", "andi", "ori", "xori"):
         out[op] = (_alu_build(op, True), _alu_wg(op, True))
-    for op in ("slli", "srli"):
-        out[op] = (_shift_build(op), _shift_wg(op))
+    for op in ("sll", "srl", "sra", "slli", "srli", "srai"):
+        out[op] = (_shift_build2(op), _shift_wg2(op))
     out["mul"] = (_mul_build(), _mul_wg)
-    out["sltu"] = (_sltu_build(), _sltu_wg)
+    for op in ("mulh", "mulhu", "mulhsu"):
+        out[op] = (_mulh_build(op), _mulh_wg(op))
+    for op in ("divu", "remu"):
+        out[op] = (_divu_build(op), _divu_wg(op))
+    for op in ("div", "rem"):
+        out[op] = (_div_build(op), _div_wg(op))
+    for op in ("slt", "sltu", "slti", "sltiu"):
+        out[op] = (_slt_build(op), _slt_wg(op))
     out["lui"] = (_lui_build(), _lui_wg)
+    out["auipc"] = (_auipc_build(), _auipc_wg)
     out["lw"] = (_lw_build(), _lw_wg)
     out["sw"] = (_sw_build(), _sw_wg)
-    for op in ("beq", "bne", "bltu"):
+    for op in ("lb", "lbu", "lh", "lhu"):
+        out[op] = (_load_sub_build(op), _load_sub_wg(op))
+    for op in ("sb", "sh"):
+        out[op] = (_store_sub_build(op), _store_sub_wg(op))
+    for op in ("beq", "bne", "blt", "bge", "bltu", "bgeu"):
         out[op] = (_branch_build(op), _branch_wg(op))
     out["jal"] = (_jal_build(), _jal_wg)
     out["jalr"] = (_jalr_build(), _jalr_wg)
