@@ -2,9 +2,10 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Methodology: the transform is the full 24-stage radix-2 DIF ladder
-(natural input, bit-reversed output — the order convention the whole
-prover pipeline uses; data at rest never needs the bitrev gather).
+Methodology: the transform is the Bailey four-step NTT (ntt/fourstep.py:
+two leading-axis DIF ladders + mid twiddle + two transposes; natural
+input, bit-reversed output — the order convention the whole prover
+pipeline uses; data at rest never needs the bitrev gather).
 Timing chains k transforms inside one jitted fori_loop and differences
 two chain lengths, which cancels the ~0.4s dispatch round-trip of the
 tunneled TPU plus any constant overheads.
@@ -35,7 +36,7 @@ def main() -> None:
     import numpy as np
 
     from powdr_tpu.field import babybear as bb
-    from powdr_tpu.ntt.ntt import _ntt_nat_to_rev_impl, _stage_tables
+    from powdr_tpu.ntt import fourstep
 
     n = 1 << LOG_N
 
@@ -49,12 +50,12 @@ def main() -> None:
 
     x = make_input()
     sync(x)
-    tables = _stage_tables(LOG_N, False)
+    tables = fourstep.tables_for(LOG_N, False)
 
     @functools.partial(jax.jit, static_argnums=(2,))
     def chain(x, tables, iters):
         return jax.lax.fori_loop(
-            0, iters, lambda i, v: _ntt_nat_to_rev_impl.__wrapped__(v, tables), x
+            0, iters, lambda i, v: fourstep.fourstep_nat_to_rev(v, *tables), x
         )
 
     # compile both chain lengths

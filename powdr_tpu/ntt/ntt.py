@@ -196,13 +196,50 @@ def _intt_nat_to_rev_impl(x, tables):
     return bb.mont_mul(y, jnp.uint32(_n_inv_mont(log_n)))
 
 
+def _use_fourstep(log_n: int) -> bool:
+    from . import fourstep
+
+    return log_n >= fourstep.MIN_LOG_FOURSTEP
+
+
+@jax.jit
+def _fs_nat_to_rev_impl(x, t1, t2, mid):
+    from . import fourstep
+
+    return fourstep.fourstep_nat_to_rev(x, t1, t2, mid)
+
+
+@jax.jit
+def _fs_rev_to_nat_impl(x, t1, t2, mid):
+    from . import fourstep
+
+    return fourstep.fourstep_rev_to_nat(x, t1, t2, mid)
+
+
+@jax.jit
+def _fs_nat_to_rev_scaled_impl(x, t1, t2, mid, scale):
+    from . import fourstep
+
+    return bb.mont_mul(fourstep.fourstep_nat_to_rev(x, t1, t2, mid), scale)
+
+
 def ntt_natural_to_rev(x: jnp.ndarray) -> jnp.ndarray:
     log_n = int(np.log2(x.shape[-1]))
+    if _use_fourstep(log_n):
+        from . import fourstep
+
+        return _fs_nat_to_rev_impl(x, *fourstep.tables_for(log_n, False))
     return _ntt_nat_to_rev_impl(x, _stage_tables(log_n, False))
 
 
 def intt_rev_to_natural(x: jnp.ndarray) -> jnp.ndarray:
     log_n = int(np.log2(x.shape[-1]))
+    if _use_fourstep(log_n):
+        from . import fourstep
+
+        # rev->nat DIT with inverse twiddles, then the 1/n scale
+        y = _fs_rev_to_nat_impl(x, *fourstep.tables_for(log_n, True))
+        return bb.mont_mul(y, jnp.uint32(_n_inv_mont(log_n)))
     return _intt_rev_to_nat_impl(x, _stage_tables(log_n, True))
 
 
@@ -226,33 +263,68 @@ def intt(x: jnp.ndarray) -> jnp.ndarray:
 # gather-free coset LDE
 
 
-@functools.partial(jax.jit, static_argnums=(1,))
-def _coset_lde_impl(x, log_blowup, inv_tables, sp_rev, fwd_tables):
+@functools.partial(jax.jit, static_argnums=(1, 2, 3))
+def _coset_lde_impl(x, log_blowup, fs_in, fs_out, inv_tables, sp_rev, fwd_tables):
+    from . import fourstep
+
     n = x.shape[-1]
     log_n = int(np.log2(n))
     blowup = 1 << log_blowup
-    # natural evals -> bit-reversed coefficients (scaled by 1/n)
-    coeffs_rev = _intt_nat_to_rev_impl.__wrapped__(x, inv_tables)
-    # coset scale: shift^i in bit-reversed layout
+    # natural evals -> bit-reversed coefficients
+    if fs_in:
+        coeffs_rev = fourstep.fourstep_nat_to_rev(x, *inv_tables)
+    else:
+        coeffs_rev = _dif(x, log_n, inv_tables)
+    # merged scale: shift^rev(i) * 1/n in bit-reversed layout
     coeffs_rev = bb.mont_mul(coeffs_rev, sp_rev)
     # zero-pad in rev_N layout: rev_N(i) = rev_n(i) * blowup for i < n
     pad_shape = [(0, 0)] * (x.ndim - 1) + [(0, 0), (0, blowup - 1)]
     padded = jnp.pad(coeffs_rev[..., :, None], pad_shape).reshape(*x.shape[:-1], n * blowup)
     # bit-reversed coefficients -> natural evaluations
-    return _ntt_rev_to_nat_impl.__wrapped__(padded, fwd_tables)
+    if fs_out:
+        return fourstep.fourstep_rev_to_nat(padded, *fwd_tables)
+    return _dit(padded, log_n + log_blowup, fwd_tables)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers_rev_scaled_np(log_n: int, shift: int) -> np.ndarray:
+    """shift^rev(j) / n (Montgomery) — the iNTT 1/n scale merged into the
+    coset-scale table so the LDE pipeline does one sweep, not two."""
+    tab = _shift_powers_rev_np(log_n, shift, False).astype(np.uint64)  # Montgomery
+    n_inv = pow(1 << log_n, bb.P - 2, bb.P)
+    # mont(x) * n_inv mod p == mont(x / n)
+    return (tab * n_inv % bb.P).astype(np.uint32)
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_powers_rev_scaled_cached(log_n: int, shift: int):
+    return jax.device_put(jnp.asarray(_shift_powers_rev_scaled_np(log_n, shift)))
+
+
+def _shift_powers_rev_scaled_device(log_n: int, shift: int):
+    if _tracing():
+        return jnp.asarray(_shift_powers_rev_scaled_np(log_n, shift))
+    return _shift_powers_rev_scaled_cached(log_n, shift)
 
 
 def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR) -> jnp.ndarray:
     """Evals over H (natural) -> evals over coset shift*K (natural), no
     gathers: intt-to-rev, rev-layout scale+pad, DIT forward."""
+    from . import fourstep
+
     log_n = int(np.log2(x.shape[-1]))
     log_N = log_n + log_blowup
+    fs_in, fs_out = _use_fourstep(log_n), _use_fourstep(log_N)
+    inv_t = fourstep.tables_for(log_n, True) if fs_in else _stage_tables(log_n, True)
+    fwd_t = fourstep.tables_for(log_N, False) if fs_out else _stage_tables(log_N, False)
     return _coset_lde_impl(
         x,
         log_blowup,
-        _stage_tables(log_n, True),
-        _shift_powers_rev_device(log_n, shift, False),
-        _stage_tables(log_N, False),
+        fs_in,
+        fs_out,
+        inv_t,
+        _shift_powers_rev_scaled_device(log_n, shift),
+        fwd_t,
     )
 
 
@@ -262,12 +334,22 @@ def coset_lde(x: jnp.ndarray, log_blowup: int, shift: int = bb.GENERATOR) -> jnp
 def interpolate_rev(x: jnp.ndarray) -> jnp.ndarray:
     """Natural evals over H -> coefficients in bit-reversed order."""
     log_n = int(np.log2(x.shape[-1]))
+    if _use_fourstep(log_n):
+        from . import fourstep
+
+        return _fs_nat_to_rev_scaled_impl(
+            x, *fourstep.tables_for(log_n, True), jnp.uint32(_n_inv_mont(log_n))
+        )
     return _intt_nat_to_rev_impl(x, _stage_tables(log_n, True))
 
 
 def evaluate_from_rev(coeffs_rev: jnp.ndarray) -> jnp.ndarray:
     """Bit-reversed coefficients -> natural evals over H."""
     log_n = int(np.log2(coeffs_rev.shape[-1]))
+    if _use_fourstep(log_n):
+        from . import fourstep
+
+        return _fs_rev_to_nat_impl(coeffs_rev, *fourstep.tables_for(log_n, False))
     return _ntt_rev_to_nat_impl(coeffs_rev, _stage_tables(log_n, False))
 
 

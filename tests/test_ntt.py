@@ -127,3 +127,57 @@ def test_pallas_fourstep_matches_ladder(rng):
         expect = np.asarray(ntt_natural_to_rev(xm))
         got = np.asarray(make_ntt2d(log_r, tile_rows=1 << log_r)(xm))
         np.testing.assert_array_equal(got, expect)
+
+
+def test_fourstep_matches_ladder(rng):
+    """Bailey four-step (the shipped big-size path, ntt/fourstep.py) must
+    equal the radix-2 ladder bit-exactly in all four directions, batched
+    and unbatched, including the odd-split case."""
+    import jax.numpy as jnp
+    from powdr_tpu.ntt import fourstep
+    from powdr_tpu.ntt.ntt import _dif, _dit, _stage_tables
+
+    for log_n in (10, 13, 15):
+        n = 1 << log_n
+        for shape in ((n,), (3, n)):
+            x = bb.to_mont(
+                jnp.asarray(rng.integers(0, P, size=shape, dtype=np.uint64).astype(np.uint32))
+            )
+            for inverse in (False, True):
+                tl = _stage_tables(log_n, inverse)
+                tf = fourstep.tables_for(log_n, inverse)
+                np.testing.assert_array_equal(
+                    np.asarray(fourstep.fourstep_nat_to_rev(x, *tf)),
+                    np.asarray(_dif(x, log_n, tl)),
+                )
+                np.testing.assert_array_equal(
+                    np.asarray(fourstep.fourstep_rev_to_nat(x, *tf)),
+                    np.asarray(_dit(x, log_n, tl)),
+                )
+
+
+def test_coset_lde_large_roundtrip(rng):
+    """coset_lde through the four-step dispatch path (log_N >= 14):
+    the LDE restricted to stride-blowup positions recovers... (coset is
+    disjoint from H, so instead check against direct evaluation of the
+    interpolant on a few coset points)."""
+    import jax.numpy as jnp
+    from powdr_tpu import ntt as nttmod
+
+    log_n, log_blowup = 13, 2  # output 2^15 -> four-step out path
+    n = 1 << log_n
+    x = rng.integers(0, P, size=n, dtype=np.uint64).astype(np.uint32)
+    xm = bb.to_mont(jnp.asarray(x))
+    lde = np.asarray(bb.from_mont(nttmod.coset_lde(xm, log_blowup)))
+    # check one point: lde[j] = P(shift * w_N^j) where P interpolates x on H
+    coeffs_rev = np.asarray(bb.from_mont(nttmod.interpolate_rev(xm))).astype(np.uint64)
+    rev = nttmod.bitrev_indices(log_n)
+    coeffs = np.zeros(n, dtype=np.uint64)
+    coeffs[rev] = coeffs_rev  # natural-order coefficients
+    wN = bb.py_root_of_unity(log_n + log_blowup)
+    for j in (0, 1, 12345):
+        pt = bb.GENERATOR * pow(wN, j, P) % P
+        acc = 0
+        for c in reversed(coeffs.tolist()):
+            acc = (acc * pt + c) % P
+        assert lde[j] == acc
