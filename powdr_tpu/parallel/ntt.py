@@ -132,6 +132,94 @@ def make_sharded_ntt(mesh: Mesh, log_n: int, inverse: bool = False):
     return jax.jit(full)
 
 
+def _four_step_local_batched(x_local: jnp.ndarray, tw_local: jnp.ndarray, inverse: bool, n_dev: int):
+    """Batched device-local body: x_local (B, N2/D, N1) natural contiguous
+    chunks of x.reshape(B, N2, N1); returns (B, N2/D * N1) natural chunks."""
+    d = n_dev
+    B, n2_loc, n1 = x_local.shape
+    x_cols = jax.lax.all_to_all(
+        x_local.reshape(B, n2_loc, d, n1 // d), AXIS, split_axis=2, concat_axis=1
+    ).reshape(B, n2_loc * d, n1 // d)
+    # N2-point NTT along axis 1 (move it to the trailing axis)
+    x_cols = jnp.swapaxes(
+        _ntt_last_axis(jnp.swapaxes(x_cols, 1, 2), inverse), 1, 2
+    )  # (B, N2, N1/D)
+    x_cols = bb.mont_mul(x_cols, tw_local[None])
+    x_rows = jax.lax.all_to_all(
+        x_cols.reshape(B, d, n2_loc, n1 // d), AXIS, split_axis=1, concat_axis=2
+    ).reshape(B, n2_loc, n1)
+    e = _ntt_last_axis(x_rows, inverse)  # (B, k2_local, k1)
+    out = jax.lax.all_to_all(
+        e.reshape(B, n2_loc, d, n1 // d), AXIS, split_axis=2, concat_axis=1
+    ).reshape(B, n2_loc * d, n1 // d)
+    return jnp.swapaxes(out, 1, 2).reshape(B, -1)
+
+
+def make_sharded_ntt_batch(mesh: Mesh, log_n: int, inverse: bool = False):
+    """Returns a jitted fn: (B, n) -> (B, n), rows transformed
+    independently, data sharded P(None, AXIS) (columns of the batch
+    matrix contiguous per device)."""
+    d = mesh.shape[AXIS]
+    log_n1, log_n2 = _split_log(log_n)
+    n1, n2 = 1 << log_n1, 1 << log_n2
+    assert n2 % d == 0 and n1 % d == 0, "device count must divide both factors"
+    tw = jnp.asarray(_four_step_twiddles(log_n1, log_n2, inverse))  # (N2, N1)
+
+    def body(x_chunk, tw_local):
+        B = x_chunk.shape[0]
+        return _four_step_local_batched(x_chunk.reshape(B, n2 // d, n1), tw_local, inverse, d)
+
+    fn = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(None, AXIS), P(None, AXIS)),
+        out_specs=P(None, AXIS),
+    )
+
+    if inverse:
+        n_inv = bb.py_to_mont(pow(1 << log_n, bb.P - 2, bb.P))
+        return jax.jit(lambda x: bb.mont_mul(fn(x, tw), jnp.uint32(n_inv)))
+    return jax.jit(lambda x: fn(x, tw))
+
+
+def make_sharded_coset_lde_batch(mesh: Mesh, log_n: int, log_blowup: int, shift: int = bb.GENERATOR):
+    """(B, n) evals over H -> (B, n * 2^log_blowup) evals over shift*K,
+    natural order, sharded P(None, AXIS).  Same coset-per-NTT structure as
+    make_sharded_coset_lde, batched so a whole trace matrix LDEs in one
+    dispatch."""
+    intt_fn = make_sharded_ntt_batch(mesh, log_n, inverse=True)
+    ntt_fn = make_sharded_ntt_batch(mesh, log_n, inverse=False)
+    blowup = 1 << log_blowup
+    n = 1 << log_n
+    log_N = log_n + log_blowup
+    w_N = bb.py_root_of_unity(log_N)
+    d = mesh.shape[AXIS]
+
+    scales = []
+    for k in range(blowup):
+        s = shift * pow(w_N, k, bb.P) % bb.P
+        scales.append(bb.np_to_mont(_pow_table(s, n)))
+    scales = jnp.asarray(np.stack(scales))  # (blowup, n)
+
+    def interleave_body(*cs):
+        # each (B, n/D) local -> (B, n/D * blowup) natural chunk
+        return jnp.stack(cs, axis=-1).reshape(cs[0].shape[0], -1)
+
+    inter = jax.shard_map(
+        interleave_body,
+        mesh=mesh,
+        in_specs=tuple(P(None, AXIS) for _ in range(blowup)),
+        out_specs=P(None, AXIS),
+    )
+
+    def full(evals):
+        coeffs = intt_fn(evals)
+        cosets = [ntt_fn(bb.mont_mul(coeffs, scales[k][None])) for k in range(blowup)]
+        return inter(*cosets)
+
+    return jax.jit(full)
+
+
 def make_sharded_coset_lde(mesh: Mesh, log_n: int, log_blowup: int, shift: int = bb.GENERATOR):
     """(n,) evals over H -> (n * 2^log_blowup,) evals over shift*K, natural
     order, sharded contiguously.  One sharded INTT + `blowup` sharded NTTs

@@ -301,9 +301,17 @@ def prove(
     config: StarkConfig,
     challenger: Challenger,
     publics: Optional[Sequence[Optional[List[int]]]] = None,
+    commit_fn=None,
 ) -> Proof:
     """publics: per-chip lists of canonical public values (bound into the
-    transcript before any commitment round)."""
+    transcript before any commitment round).
+
+    commit_fn(evals, config, shift_pow=) overrides the PCS commitment —
+    the mesh-sharded prover (powdr_tpu.parallel.prover) injects its
+    sharded LDE+Merkle here; every other stage is sharding-agnostic jnp
+    and partitions automatically from the committed arrays' shardings."""
+    if commit_fn is None:
+        commit_fn = pcs.commit
     publics = list(publics) if publics is not None else [None] * len(chips)
     log_ns = [int(np.log2(t.shape[0])) for _, t in chips]
     log_n_max = max(log_ns)
@@ -323,7 +331,7 @@ def prove(
     for (a, t), sp in zip(chips, shift_pows):
         if a.preprocessed is not None:
             pm = bb.to_mont(jnp.asarray(a.preprocessed.astype(np.uint32)))
-            cm = pcs.commit(pm, config, shift_pow=sp)
+            cm = commit_fn(pm, config, shift_pow=sp)
             pres.append(cm)
             challenger.observe_digest(cm.root)
         else:
@@ -332,7 +340,7 @@ def prove(
     # round 1: main commitments
     mains = []
     for (a, t), sp in zip(chips, shift_pows):
-        cm = pcs.commit(t, config, shift_pow=sp)
+        cm = commit_fn(t, config, shift_pow=sp)
         mains.append(cm)
         challenger.observe_digest(cm.root)
 
@@ -350,7 +358,7 @@ def prove(
                 a, t, groups, alpha, beta,
                 pre_trace=pre_cm.evals if pre_cm is not None else None,
             )
-            cm = pcs.commit(perm, config, shift_pow=sp)
+            cm = commit_fn(perm, config, shift_pow=sp)
             challenger.observe_digest(cm.root)
             challenger.observe_ext(total)
             perms.append(cm)
@@ -386,7 +394,7 @@ def prove(
             lde_pre=pre_cm.lde if pre_cm is not None else None,
             publics=pub,
         )
-        cm = pcs.commit(qm, config, shift_pow=sp)
+        cm = commit_fn(qm, config, shift_pow=sp)
         quotients.append(cm)
         challenger.observe_digest(cm.root)
 
