@@ -29,6 +29,16 @@ class ExecutionResult:
     initial_cells: List[Tuple[int, int, int]]  # (space, ptr, value) touched at start
     instret: int
     halted: bool
+    #: opcode -> {field: (n,) uint64 array, "prev_ts": list of arrays} —
+    #: set by executor_native.run_native_columnar; enables the vectorized
+    #: witgen path (vm/witgen_vec.py) without materializing row dicts
+    records_columnar: "Optional[Dict[str, dict]]" = None
+    #: segmentation refresh rows (epoch handoff; see system.mem_refresh_chip):
+    #: {"seg","space","ptr","val","prev_ts"} arrays / {"seg","pc","prev_ts"}
+    mem_refresh: "Optional[dict]" = None
+    exec_refresh: "Optional[dict]" = None
+    #: timestamp ticks per segment epoch (E); set when segmented
+    epoch_ticks: int = 0
 
 
 class Executor:
@@ -40,6 +50,8 @@ class Executor:
         # (space, ptr) -> (last_ts, value); everything starts at ts 0
         self.cells: Dict[Tuple[int, int], Tuple[int, int]] = {}
         self.touched_initial: Dict[Tuple[int, int], int] = {}
+        self._cur_epoch, self._epoch_ticks = 0, 0
+        self._created_epoch: Dict[Tuple[int, int], int] = {}
 
     def _cell(self, space: int, ptr: int) -> Tuple[int, int]:
         key = (space, ptr)
@@ -48,8 +60,13 @@ class Executor:
                 init = 0
             else:
                 init = self.initial_mem.get(ptr, 0)
-            self.cells[key] = (0, init)
+            # segmentation: cells first touched in epoch k > 0 start
+            # refreshed at ts = k*E (backfill rows emitted at finalize)
+            start_ts = self._cur_epoch * self._epoch_ticks
+            self.cells[key] = (start_ts, init)
             self.touched_initial[key] = init
+            if self._cur_epoch > 0:
+                self._created_epoch[key] = self._cur_epoch
         return self.cells[key]
 
     def _read(self, space: int, ptr: int, t: int) -> Tuple[int, int]:
@@ -65,13 +82,35 @@ class Executor:
         self.cells[(space, ptr)] = (t, val)
         return prev_ts, prev
 
-    def run(self, max_steps: int = 1 << 20) -> ExecutionResult:
+    def run(
+        self, max_steps: int = 1 << 20, segment_steps: Optional[int] = None
+    ) -> ExecutionResult:
         records: Dict[str, List[dict]] = {}
         pc_trace: List[int] = []
         pc, ts = 0, 1
         halted = False
         steps = 0
+        E = (segment_steps or 0) * TS_DELTA
+        self._cur_epoch, self._epoch_ticks = 0, E
+        self._created_epoch: Dict[Tuple[int, int], int] = {}
+        mem_ref = {"seg": [], "space": [], "ptr": [], "val": [], "prev_ts": []}
+        exec_ref = {"seg": [], "pc": [], "prev_ts": []}
         while steps < max_steps:
+            if segment_steps and steps > 0 and steps % segment_steps == 0:
+                # epoch boundary: hand execution + every touched cell across
+                b = steps // segment_steps
+                exec_ref["seg"].append(b)
+                exec_ref["pc"].append(pc)
+                exec_ref["prev_ts"].append(ts)
+                ts = b * E + 1
+                for (sp, pt), (cts, val) in self.cells.items():
+                    mem_ref["seg"].append(b)
+                    mem_ref["space"].append(sp)
+                    mem_ref["ptr"].append(pt)
+                    mem_ref["val"].append(val)
+                    mem_ref["prev_ts"].append(cts)
+                    self.cells[(sp, pt)] = (b * E, val)
+                self._cur_epoch = b
             idx = pc // 4
             assert 0 <= idx < len(self.program), f"pc {pc} out of program"
             ins = self.program[idx]
@@ -287,6 +326,37 @@ class Executor:
         assert halted, "program did not halt"
         final = dict(self.cells)
         initial = [(s, p, v) for (s, p), v in sorted(self.touched_initial.items())]
+        if segment_steps:
+            # backfill refresh chains for cells first touched in epoch k > 0
+            # (rows (m, cell, init, (m-1)*E) for m = 1..k), then canonical
+            # (seg, space, ptr) order — matches the native core
+            for (sp, pt), kk in self._created_epoch.items():
+                init_v = self.touched_initial[(sp, pt)]
+                for m in range(1, kk + 1):
+                    mem_ref["seg"].append(m)
+                    mem_ref["space"].append(sp)
+                    mem_ref["ptr"].append(pt)
+                    mem_ref["val"].append(init_v)
+                    mem_ref["prev_ts"].append((m - 1) * E)
+            import numpy as _np
+
+            order = _np.lexsort(
+                (
+                    _np.asarray(mem_ref["ptr"], dtype=_np.uint64),
+                    _np.asarray(mem_ref["space"], dtype=_np.uint64),
+                    _np.asarray(mem_ref["seg"], dtype=_np.int64),
+                )
+            )
+            mem_refresh = {
+                k: _np.asarray(v, dtype=_np.int64 if k == "seg" else _np.uint64)[order]
+                for k, v in mem_ref.items()
+            }
+            exec_refresh = {
+                k: _np.asarray(v, dtype=_np.int64 if k == "seg" else _np.uint64)
+                for k, v in exec_ref.items()
+            }
+        else:
+            mem_refresh = exec_refresh = None
         return ExecutionResult(
             records=records,
             pc_trace=pc_trace,
@@ -294,6 +364,9 @@ class Executor:
             initial_cells=initial,
             instret=steps + 1,
             halted=halted,
+            mem_refresh=mem_refresh,
+            exec_refresh=exec_refresh,
+            epoch_ticks=E if segment_steps else 0,
         )
 
 

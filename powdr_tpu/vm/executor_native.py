@@ -38,6 +38,7 @@ def _lib():
         u64p = np.ctypeslib.ndpointer(np.uint64, flags="C")
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C")
         lib.powdr_execute.restype = ctypes.c_int64
         lib.powdr_execute.argtypes = [
             i32p, i32p, i32p, i32p, u32p, ctypes.c_int64,
@@ -46,6 +47,10 @@ def _lib():
             i32p, u32p, u64p, u32p, u32p, u32p, u32p, u32p, u64p,
             u64p, u64p, u32p, u32p, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_int64),
+            # segmentation: epoch_steps, mem-refresh rows, exec-refresh rows
+            ctypes.c_int64,
+            i64p, u64p, u32p, u64p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            i64p, u32p, u64p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
         ]
         _LIB = lib
     return _LIB
@@ -89,11 +94,9 @@ def _buffers(max_steps: int):
     return _BUFS[max_steps]
 
 
-def run_native(
-    program: List[Instruction],
-    initial_mem: Optional[Dict[int, int]] = None,
-    max_steps: int = 1 << 20,
-) -> ExecutionResult:
+
+def _call_core(program, initial_mem, max_steps, segment_steps):
+    """Invoke the native core; returns (steps, buffers..., refresh arrays)."""
     lib = _lib()
     n = len(program)
     op = np.array([OPCODE_ID[i.op] for i in program], dtype=np.int32)
@@ -115,45 +118,174 @@ def run_native(
     fin_init = np.empty(fin_cap, dtype=np.uint32)
     n_final = ctypes.c_int64(0)
 
-    steps = lib.powdr_execute(
-        op, rd, rs1, rs2, imm, n,
-        init_addr, init_val, len(init),
-        max_steps,
-        out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
-        fin_key, fin_ts, fin_val, fin_init, fin_cap,
-        ctypes.byref(n_final),
-    )
+    seg = segment_steps or 0
+    ref_cap = (1 << 20) if seg else 1
+    eref_cap = (max_steps // seg + 2) if seg else 1
+    eref_seg = np.empty(eref_cap, dtype=np.int64)
+    eref_pc = np.empty(eref_cap, dtype=np.uint32)
+    eref_pts = np.empty(eref_cap, dtype=np.uint64)
+    while True:
+        ref_seg = np.empty(ref_cap, dtype=np.int64)
+        ref_key = np.empty(ref_cap, dtype=np.uint64)
+        ref_val = np.empty(ref_cap, dtype=np.uint32)
+        ref_pts = np.empty(ref_cap, dtype=np.uint64)
+        n_ref = ctypes.c_int64(0)
+        n_eref = ctypes.c_int64(0)
+
+        steps = lib.powdr_execute(
+            op, rd, rs1, rs2, imm, n,
+            init_addr, init_val, len(init),
+            max_steps,
+            out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
+            fin_key, fin_ts, fin_val, fin_init, fin_cap,
+            ctypes.byref(n_final),
+            seg,
+            ref_seg, ref_key, ref_val, ref_pts, ref_cap, ctypes.byref(n_ref),
+            eref_seg, eref_pc, eref_pts, eref_cap, ctypes.byref(n_eref),
+        )
+        if steps == -2:
+            ref_cap *= 4  # refresh-row buffer too small; rerun
+            continue
+        break
     if steps < 0:
         raise RuntimeError("native execution failed (bad pc/address or step limit)")
+    nr, ne = n_ref.value, n_eref.value
+    mem_refresh = {
+        "seg": ref_seg[:nr].copy(),
+        "space": (ref_key[:nr] >> np.uint64(32)).astype(np.uint64),
+        "ptr": (ref_key[:nr] & np.uint64(0xFFFFFFFF)).astype(np.uint64),
+        "val": ref_val[:nr].astype(np.uint64),
+        "prev_ts": ref_pts[:nr].copy(),
+    }
+    if nr:
+        # canonical order (seg, space, ptr) — matches the python executor
+        order = np.lexsort((mem_refresh["ptr"], mem_refresh["space"], mem_refresh["seg"]))
+        mem_refresh = {k: v[order] for k, v in mem_refresh.items()}
+    exec_refresh = {
+        "seg": eref_seg[:ne].copy(),
+        "pc": eref_pc[:ne].astype(np.uint64),
+        "prev_ts": eref_pts[:ne].copy(),
+    }
+    return (
+        steps, rd, rs1, rs2, imm,
+        out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
+        fin_key, fin_ts, fin_val, fin_init, n_final.value,
+        mem_refresh, exec_refresh,
+    )
+
+def run_native_columnar(
+    program: List[Instruction],
+    initial_mem: Optional[Dict[int, int]] = None,
+    max_steps: int = 1 << 22,
+    segment_steps: Optional[int] = None,
+) -> ExecutionResult:
+    """Native execution with COLUMNAR records: per-opcode field arrays
+    (uint64), never materializing per-row dicts.  `result.records` is left
+    empty; witgen uses `result.records_columnar` (vm/witgen_vec.py) —
+    counterpart of the reference's record arenas feeding GPU tracegen
+    (/root/reference/openvm/src/powdr_extension/executor/mod.rs:457-600).
+
+    segment_steps: instructions per timestamp epoch (segmentation —
+    counterpart of the reference's SegmentationLimits,
+    /root/reference/openvm-riscv/src/lib.rs:270-283).  Executions longer
+    than isa.SEG_STEPS instructions require it; refresh rows land in
+    result.mem_refresh / result.exec_refresh for the refresh chips."""
+    (
+        steps, rd, rs1, rs2, imm,
+        out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
+        fin_key, fin_ts, fin_val, fin_init, nf,
+        mem_refresh, exec_refresh,
+    ) = _call_core(program, initial_mem, max_steps, segment_steps)
+
+    ops_t = out_op[:steps]
+    pc_t = out_pc[:steps].astype(np.uint64)
+    ins_idx = (pc_t >> 2).astype(np.int64)
+    pts = out_pts[: 4 * steps].reshape(steps, 4)
+
+    records_columnar: Dict[str, dict] = {}
+    for opid in np.unique(ops_t):
+        opname = OPCODES[opid]
+        sel = np.nonzero(ops_t == opid)[0]
+        ii = ins_idx[sel]
+        na = _N_ACCESS[opname]
+        records_columnar[opname] = {
+            "pc": pc_t[sel],
+            "ts": out_ts[sel].astype(np.uint64),
+            "rd": rd[ii].astype(np.uint64),
+            "rs1": rs1[ii].astype(np.uint64),
+            "rs2": rs2[ii].astype(np.uint64),
+            "imm": imm[ii].astype(np.uint64),
+            "prev_ts": [pts[sel, j].astype(np.uint64) for j in range(na)],
+            "rs1_val": out_rs1[sel].astype(np.uint64),
+            "rs2_val": out_rs2[sel].astype(np.uint64),
+            "rd_prev": out_rdp[sel].astype(np.uint64),
+            "mem_val": out_mv[sel].astype(np.uint64),
+            "mem_prev": out_mp[sel].astype(np.uint64),
+        }
+
+    final_mem = {}
+    initial_cells = []
+    for i in range(nf):
+        key = int(fin_key[i])
+        space, ptr = key >> 32, key & 0xFFFFFFFF
+        final_mem[(space, ptr)] = (int(fin_ts[i]), int(fin_val[i]))
+        initial_cells.append((space, ptr, int(fin_init[i])))
+    initial_cells.sort()
+
+    return ExecutionResult(
+        records={},
+        pc_trace=pc_t.astype(np.int64).tolist(),
+        final_mem=final_mem,
+        initial_cells=initial_cells,
+        instret=steps,
+        halted=True,
+        records_columnar=records_columnar,
+        mem_refresh=mem_refresh if segment_steps else None,
+        exec_refresh=exec_refresh if segment_steps else None,
+        epoch_ticks=(segment_steps or 0) * TS_DELTA,
+    )
+
+
+def run_native(
+    program: List[Instruction],
+    initial_mem: Optional[Dict[int, int]] = None,
+    max_steps: int = 1 << 20,
+    segment_steps: Optional[int] = None,
+) -> ExecutionResult:
+    (
+        steps, rd_a, rs1_a, rs2_a, imm_a,
+        out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
+        fin_key, fin_ts, fin_val, fin_init, nf,
+        mem_refresh, exec_refresh,
+    ) = _call_core(program, initial_mem, max_steps, segment_steps)
 
     records: Dict[str, List[dict]] = {}
     pc_trace: List[int] = []
-    for s in range(steps):
-        opname = OPCODES[out_op[s]]
-        pc = int(out_pc[s])
+    for s_ in range(steps):
+        opname = OPCODES[out_op[s_]]
+        pc = int(out_pc[s_])
         pc_trace.append(pc)
         ins = program[pc // 4]
         na = _N_ACCESS[opname]
         rec = {
             "op": opname,
             "pc": pc,
-            "ts": int(out_ts[s]),
+            "ts": int(out_ts[s_]),
             "rd": ins.rd,
             "rs1": ins.rs1,
             "rs2": ins.rs2,
             "imm": ins.imm % (1 << 32),
-            "prev_ts": [int(out_pts[4 * s + j]) for j in range(na)],
-            "rs1_val": int(out_rs1[s]),
-            "rs2_val": int(out_rs2[s]),
-            "rd_prev": int(out_rdp[s]),
-            "mem_val": int(out_mv[s]),
-            "mem_prev": int(out_mp[s]),
+            "prev_ts": [int(out_pts[4 * s_ + j]) for j in range(na)],
+            "rs1_val": int(out_rs1[s_]),
+            "rs2_val": int(out_rs2[s_]),
+            "rd_prev": int(out_rdp[s_]),
+            "mem_val": int(out_mv[s_]),
+            "mem_prev": int(out_mp[s_]),
         }
         records.setdefault(opname, []).append(rec)
 
     final_mem = {}
     initial_cells = []
-    nf = n_final.value
     for i in range(nf):
         key = int(fin_key[i])
         space, ptr = key >> 32, key & 0xFFFFFFFF
@@ -168,4 +300,7 @@ def run_native(
         initial_cells=initial_cells,
         instret=steps,
         halted=True,
+        mem_refresh=mem_refresh if segment_steps else None,
+        exec_refresh=exec_refresh if segment_steps else None,
+        epoch_ticks=(segment_steps or 0) * TS_DELTA,
     )

@@ -62,6 +62,27 @@ def _pad_pow2(trace: Dict[str, np.ndarray], min_height: int = 2) -> Dict[str, np
 
 def instruction_chips(result: ExecutionResult) -> List[Chip]:
     chips = []
+    if result.records_columnar is not None:
+        # vectorized witgen: one numpy pass per opcode over columnar
+        # records (vm/witgen_vec.py) — no per-row dicts
+        from .witgen_vec import registry_vec
+
+        vec = registry_vec()
+        for op, (builder, _wg) in registry().items():
+            rec = result.records_columnar.get(op)
+            if rec is None or len(rec["pc"]) == 0:
+                continue
+            out = vec[op](rec)
+            n = len(rec["pc"])
+            zeros = np.zeros(n, dtype=np.uint64)
+            trace = {
+                c: (np.asarray(out[c], dtype=np.uint64) % P if c in out else zeros)
+                for c in builder.cols
+            }
+            chips.append(
+                Chip(name=op, machine=builder.machine(), cols=builder.cols, trace=_pad_pow2(trace))
+            )
+        return chips
     for op, (builder, wg) in registry().items():
         recs = result.records.get(op, [])
         if not recs:
@@ -149,32 +170,125 @@ def memory_boundary_chip(result: ExecutionResult) -> Chip:
     )
 
 
+# -- segmentation refresh chips ----------------------------------------------
+# Timestamp-epoch handoff over the EXISTING mem/exec buses: segment i's
+# instructions run with timestamps in (i*E, (i+1)*E]; at each epoch
+# boundary every touched cell's pending send is consumed and re-sent at
+# ts = b*E (with the same ordering dt-check instructions use), and the
+# execution bridge is re-timestamped to b*E + 1.  One combined proof
+# covers all segments; no instruction machine or APC change needed.
+# Counterpart of the reference's SegmentationLimits continuation axis
+# (/root/reference/openvm-riscv/src/lib.rs:270-283, executor/mod.rs:56-62).
+
+
+def mem_refresh_chip(mem_refresh: dict, epoch_ticks: int) -> Chip:
+    from .isa import DT_BITS
+
+    b = MachineBuilder(name="mem_refresh")
+    active = b.col("active")
+    seg = b.col("seg")
+    space = b.col("space")
+    ptr = b.col("ptr")
+    v = b.cols4("v")
+    prev_ts = b.col("prev_ts")
+    dt = b.col("dt")
+    b.require(ir.Mul(active, ir.Sub(active, ir.Const(1))))
+    ts_new = ir.Mul(ir.Const(epoch_ticks), seg)
+    b.receive(MEM_BUS, active, [space, ptr, *v, prev_ts])
+    b.send(MEM_BUS, active, [space, ptr, *v, ts_new])
+    b.require(
+        ir.Mul(active, ir.Sub(dt, ir.Sub(ir.Sub(ts_new, prev_ts), ir.Const(1))))
+    )
+    b.send(RANGE_BUS, active, [dt, ir.Const(DT_BITS)])
+    n = len(mem_refresh["seg"])
+    trace = {
+        "active": np.ones(n, dtype=np.uint64),
+        "seg": np.asarray(mem_refresh["seg"], dtype=np.uint64),
+        "space": np.asarray(mem_refresh["space"], dtype=np.uint64),
+        "ptr": np.asarray(mem_refresh["ptr"], dtype=np.uint64),
+        "prev_ts": np.asarray(mem_refresh["prev_ts"], dtype=np.uint64),
+        "dt": np.asarray(mem_refresh["seg"], dtype=np.uint64) * epoch_ticks
+        - np.asarray(mem_refresh["prev_ts"], dtype=np.uint64)
+        - 1,
+    }
+    val = np.asarray(mem_refresh["val"], dtype=np.uint64)
+    for i in range(4):
+        trace[f"v__{i}"] = (val >> np.uint64(8 * i)) & np.uint64(0xFF)
+    return Chip(name="mem_refresh", machine=b.machine(), cols=b.cols, trace=_pad_pow2(trace))
+
+
+def exec_refresh_chip(exec_refresh: dict, epoch_ticks: int) -> Chip:
+    from .isa import DT_BITS
+
+    b = MachineBuilder(name="exec_refresh")
+    active = b.col("active")
+    seg = b.col("seg")
+    pc = b.col("pc")
+    prev_ts = b.col("prev_ts")
+    dt = b.col("dt")
+    b.require(ir.Mul(active, ir.Sub(active, ir.Const(1))))
+    ts_new = ir.Add(ir.Mul(ir.Const(epoch_ticks), seg), ir.Const(1))
+    b.receive(EXEC_BUS, active, [pc, prev_ts])
+    b.send(EXEC_BUS, active, [pc, ts_new])
+    # ordering: the received chain ts may not exceed the epoch start + 1
+    # (kills forged refresh cycles; genuine full epochs give dt = 0)
+    b.require(ir.Mul(active, ir.Sub(dt, ir.Sub(ts_new, prev_ts))))
+    b.send(RANGE_BUS, active, [dt, ir.Const(DT_BITS)])
+    n = len(exec_refresh["seg"])
+    segs = np.asarray(exec_refresh["seg"], dtype=np.uint64)
+    pts = np.asarray(exec_refresh["prev_ts"], dtype=np.uint64)
+    trace = {
+        "active": np.ones(n, dtype=np.uint64),
+        "seg": segs,
+        "pc": np.asarray(exec_refresh["pc"], dtype=np.uint64),
+        "prev_ts": pts,
+        "dt": segs * epoch_ticks + 1 - pts,
+    }
+    return Chip(name="exec_refresh", machine=b.machine(), cols=b.cols, trace=_pad_pow2(trace))
+
+
 # -- periphery tables ---------------------------------------------------------
 
 
-def range_checker_chip(counts: Dict[Tuple[int, int], int]) -> Chip:
+def _range_table_offset(bits) -> "np.ndarray | int":
+    """Row index of (value=0, bits) in the range table layout."""
+    return (1 << bits) - 1
+
+
+def range_checker_chip(counts) -> Chip:
+    """counts: {(value, bits): n} dict or a flat int64 array indexed by
+    _range_table_offset(bits) + value (the vectorized accumulation path)."""
     b = MachineBuilder(name="range_checker")
     value = b.col("value")
     bits = b.col("bits")
     count = b.col("count")
     b.receive(RANGE_BUS, count, [value, bits])
-    rows = {"value": [], "bits": [], "count": []}
-    for bb in range(MAX_RANGE_BITS + 1):
-        for v in range(1 << bb):
-            rows["value"].append(v)
-            rows["bits"].append(bb)
-            rows["count"].append(counts.get((v, bb), 0))
+    n_rows = (1 << (MAX_RANGE_BITS + 1)) - 1
+    vals = np.concatenate(
+        [np.arange(1 << bb, dtype=np.uint64) for bb in range(MAX_RANGE_BITS + 1)]
+    )
+    bts = np.concatenate(
+        [np.full(1 << bb, bb, dtype=np.uint64) for bb in range(MAX_RANGE_BITS + 1)]
+    )
+    if isinstance(counts, dict):
+        cnt = np.zeros(n_rows, dtype=np.int64)
+        for (v, bb), c in counts.items():
+            cnt[_range_table_offset(bb) + v] += c
+    else:
+        cnt = counts
+    rows = {"value": vals, "bits": bts, "count": (cnt % P).astype(np.uint64)}
     return Chip(
         name="range_checker",
         machine=b.machine(),
         cols=b.cols,
-        trace=_pad_pow2({c: np.array(v, dtype=np.uint64) for c, v in rows.items()}),
+        trace=_pad_pow2(rows),
         preprocessed={"value", "bits"},
     )
 
 
-def bitwise_chip(counts: Dict[Tuple[int, int, int, int], int]) -> Chip:
-    """Full byte-pair table: op0 rows (x, y, 0, 0) and op1 rows (x, y, x^y, 1)."""
+def bitwise_chip(counts) -> Chip:
+    """Full byte-pair table: op0 rows (x, y, 0, 0) and op1 rows (x, y, x^y, 1).
+    counts: {(x,y,z,op): n} dict or a flat int64 array indexed op*65536+x*256+y."""
     b = MachineBuilder(name="bitwise")
     x = b.col("x")
     y = b.col("y")
@@ -191,11 +305,13 @@ def bitwise_chip(counts: Dict[Tuple[int, int, int, int], int]) -> Chip:
         "z": np.concatenate([np.zeros_like(gx), gx ^ gy]),
         "op": np.concatenate([np.zeros_like(gx), np.ones_like(gx)]),
     }
-    cnt = np.zeros(2 * 65536, dtype=np.uint64)
-    for (cx, cy, cz, cop), c in counts.items():
-        idx = cop * 65536 + cx * 256 + cy
-        cnt[idx] += c
-    rows["count"] = cnt
+    if isinstance(counts, dict):
+        cnt = np.zeros(2 * 65536, dtype=np.int64)
+        for (cx, cy, cz, cop), c in counts.items():
+            cnt[cop * 65536 + cx * 256 + cy] += c
+    else:
+        cnt = counts
+    rows["count"] = (cnt % P).astype(np.uint64)
     return Chip(
         name="bitwise",
         machine=b.machine(),
@@ -205,19 +321,22 @@ def bitwise_chip(counts: Dict[Tuple[int, int, int, int], int]) -> Chip:
     )
 
 
-def pow2_chip(counts: Dict[int, int]) -> Chip:
+def pow2_chip(counts) -> Chip:
+    """counts: {shamt: n} dict or a 33-entry int64 array."""
     b = MachineBuilder(name="pow2")
     s = b.col("s")
     pb = b.cols4("p2")
     count = b.col("count")
     b.receive(POW2_BUS, count, [s, *pb])
+    if not isinstance(counts, dict):
+        counts = {sv: int(c) for sv, c in enumerate(counts)}
     rows = {c: [] for c in b.cols}
     for sv in range(33):
         p2 = 1 << sv
         rows["s"].append(sv)
         for i in range(4):
             rows[f"p2__{i}"].append((p2 >> (8 * i)) & 0xFF)
-        rows["count"].append(counts.get(sv, 0))
+        rows["count"].append(counts.get(sv, 0) % P)
     return Chip(
         name="pow2",
         machine=b.machine(),
@@ -295,26 +414,35 @@ def build_chips(program: List[Instruction], result: ExecutionResult) -> List[Chi
     chips.append(program_chip(program, result.pc_trace))
     chips.append(exec_boundary_chip())
     chips.append(memory_boundary_chip(result))
+    if result.mem_refresh is not None and len(result.mem_refresh["seg"]):
+        chips.append(mem_refresh_chip(result.mem_refresh, result.epoch_ticks))
+    if result.exec_refresh is not None and len(result.exec_refresh["seg"]):
+        chips.append(exec_refresh_chip(result.exec_refresh, result.epoch_ticks))
     # periphery counts from the already-built chips' interactions
-    range_counts: Dict[Tuple[int, int], int] = {}
-    bitwise_counts: Dict[Tuple[int, int, int, int], int] = {}
-    pow2_counts: Dict[int, int] = {}
+    # (vectorized: scatter-add histograms per interaction, no python row
+    # loop — counterpart of the reference's CUDA bus-apply kernel,
+    # openvm/cuda/src/apc_apply_bus.cu:23-113)
+    range_counts = np.zeros((1 << (MAX_RANGE_BITS + 1)) - 1, dtype=np.int64)
+    bitwise_counts = np.zeros(2 * 65536, dtype=np.int64)
+    pow2_counts = np.zeros(33, dtype=np.int64)
+
+    def _accum(dst: np.ndarray, idx: np.ndarray, mult: np.ndarray):
+        mask = mult != 0
+        if mask.any():
+            np.add.at(dst, np.asarray(idx)[mask].astype(np.int64), mult[mask].astype(np.int64))
+
     for chip in chips:
         _, ints = evaluate_chip_exprs(chip)
         for bus_id, mult, args in ints:
-            nz = np.nonzero(mult)[0]
-            for r in nz:
-                m = int(mult[r])
-                vals = tuple(int(a[r]) for a in args)
-                if bus_id == RANGE_BUS:
-                    range_counts[(vals[0], vals[1])] = range_counts.get((vals[0], vals[1]), 0) + m
-                elif bus_id == BITWISE_BUS:
-                    bitwise_counts[vals] = bitwise_counts.get(vals, 0) + m
-                elif bus_id == POW2_BUS:
-                    pow2_counts[vals[0]] = pow2_counts.get(vals[0], 0) + m
+            if bus_id == RANGE_BUS:
+                _accum(range_counts, (np.int64(1) << args[1].astype(np.int64)) - 1 + args[0].astype(np.int64), mult)
+            elif bus_id == BITWISE_BUS:
+                _accum(bitwise_counts, args[3].astype(np.int64) * 65536 + args[0].astype(np.int64) * 256 + args[1].astype(np.int64), mult)
+            elif bus_id == POW2_BUS:
+                _accum(pow2_counts, args[0], mult)
     chips.append(range_checker_chip(range_counts))
-    if bitwise_counts:
+    if bitwise_counts.any():
         chips.append(bitwise_chip(bitwise_counts))
-    if pow2_counts:
+    if pow2_counts.any():
         chips.append(pow2_chip(pow2_counts))
     return chips
