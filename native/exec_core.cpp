@@ -43,6 +43,7 @@ struct Cell {
   uint32_t val = 0;
   uint32_t init = 0;
   bool touched = false;
+  int32_t created_epoch = 0;
 };
 
 struct Memory {
@@ -50,10 +51,18 @@ struct Memory {
   Cell regs[32];
   std::unordered_map<uint32_t, Cell> ram;
   std::unordered_map<uint64_t, uint32_t> init_map;
+  // segmentation: cells first touched in epoch k > 0 start refreshed at
+  // ts = k*E (the host emits backfill refresh rows for epochs 1..k)
+  int32_t cur_epoch = 0;
+  uint64_t epoch_ticks = 0;  // E; 0 = segmentation off
 
   Cell& cell(uint32_t space, uint32_t ptr) {
     if (space == 1) {
       Cell& c = regs[ptr & 31];
+      if (!c.touched && cur_epoch > 0) {
+        c.created_epoch = cur_epoch;
+        c.ts = (uint64_t)cur_epoch * epoch_ticks;
+      }
       c.touched = true;
       return c;
     }
@@ -64,6 +73,10 @@ struct Memory {
     if (f != init_map.end()) c.val = f->second;
     c.init = c.val;
     c.touched = true;
+    if (cur_epoch > 0) {
+      c.created_epoch = cur_epoch;
+      c.ts = (uint64_t)cur_epoch * epoch_ticks;
+    }
     return ram.emplace(ptr, c).first->second;
   }
 };
@@ -91,10 +104,21 @@ int64_t powdr_execute(
     uint32_t* out_memval, uint32_t* out_memprev, uint64_t* out_prevts /*4*max_steps*/,
     // final memory dump (preallocated cap rows); returns count via n_final
     uint64_t* fin_key, uint64_t* fin_ts, uint32_t* fin_val, uint32_t* fin_init,
-    int64_t fin_cap, int64_t* n_final) {
+    int64_t fin_cap, int64_t* n_final,
+    // segmentation (epoch_steps instructions per segment; 0 = off).
+    // mem refresh rows: (epoch, space<<32|ptr, value, prev_ts); exec
+    // refresh rows: (epoch, pc, prev_ts).  See vm/system.py refresh chips.
+    int64_t epoch_steps,
+    int64_t* ref_seg, uint64_t* ref_key, uint32_t* ref_val, uint64_t* ref_prev_ts,
+    int64_t ref_cap, int64_t* n_ref,
+    int64_t* eref_seg, uint32_t* eref_pc, uint64_t* eref_prev_ts,
+    int64_t eref_cap, int64_t* n_eref) {
   Memory mem;
   mem.init_map.reserve(n_init * 2 + 16);
   for (int64_t i = 0; i < n_init; i++) mem.init_map[init_addr[i]] = init_val[i];
+  uint64_t E = (uint64_t)epoch_steps * TS_DELTA;
+  mem.epoch_ticks = E;
+  int64_t nref = 0, neref = 0;
 
   uint32_t pc = 0;
   uint64_t ts = 1;
@@ -102,6 +126,31 @@ int64_t powdr_execute(
   bool halted = false;
 
   while (steps < max_steps) {
+    if (epoch_steps > 0 && steps > 0 && steps % epoch_steps == 0) {
+      // epoch boundary b: hand execution + every touched cell across
+      int64_t b = steps / epoch_steps;
+      if (neref >= eref_cap) return -2;
+      eref_seg[neref] = b;
+      eref_pc[neref] = pc;
+      eref_prev_ts[neref] = ts;
+      neref++;
+      ts = (uint64_t)b * E + 1;
+      auto refresh = [&](uint64_t key, Cell& c) -> bool {
+        if (nref >= ref_cap) return false;
+        ref_seg[nref] = b;
+        ref_key[nref] = key;
+        ref_val[nref] = c.val;
+        ref_prev_ts[nref] = c.ts;
+        nref++;
+        c.ts = (uint64_t)b * E;
+        return true;
+      };
+      for (uint32_t r = 0; r < 32; r++)
+        if (mem.regs[r].touched && !refresh((uint64_t(1) << 32) | r, mem.regs[r])) return -2;
+      for (auto& kv : mem.ram)
+        if (!refresh((uint64_t(2) << 32) | kv.first, kv.second)) return -2;
+      mem.cur_epoch = (int32_t)b;
+    }
     if (pc % 4 != 0 || pc / 4 >= (uint64_t)n_prog) return -1;
     int64_t idx = pc / 4;
     int32_t o = op[idx];
@@ -324,6 +373,27 @@ int64_t powdr_execute(
     steps++;
   }
   if (!halted) return -1;
+
+  // backfill refresh chains for cells first touched in epoch k > 0:
+  // rows (m, cell, init, (m-1)*E) for m = 1..k keep the per-epoch refresh
+  // set identical for every cell
+  auto backfill = [&](uint64_t key, Cell& c) -> bool {
+    for (int32_t m = 1; m <= c.created_epoch; m++) {
+      if (nref >= ref_cap) return false;
+      ref_seg[nref] = m;
+      ref_key[nref] = key;
+      ref_val[nref] = c.init;
+      ref_prev_ts[nref] = (uint64_t)(m - 1) * E;
+      nref++;
+    }
+    return true;
+  };
+  for (uint32_t r = 0; r < 32; r++)
+    if (mem.regs[r].touched && !backfill((uint64_t(1) << 32) | r, mem.regs[r])) return -2;
+  for (auto& kv : mem.ram)
+    if (!backfill((uint64_t(2) << 32) | kv.first, kv.second)) return -2;
+  *n_ref = nref;
+  *n_eref = neref;
 
   // final memory dump
   int64_t nf = 0;

@@ -39,6 +39,11 @@ POW2_BUS = 7
 TS_DELTA = 8  # timestamp budget per instruction (max memory accesses)
 DT_BITS = 18  # timestamp-gap range check width (caps segment length at
               # 2^DT_BITS/TS_DELTA = 32768 instructions; see system.MAX_RANGE_BITS)
+EPOCH_TICKS = 1 << DT_BITS  # timestamp epoch per segment
+SEG_STEPS = EPOCH_TICKS // TS_DELTA  # max instructions per segment (32768);
+# longer executions run segmented (executor segment_steps) with per-epoch
+# refresh chips (system.mem_refresh_chip/exec_refresh_chip) — counterpart
+# of the reference's SegmentationLimits (openvm-riscv/src/lib.rs:270-283)
 CARRY_BITS = 10  # long-multiplication carry range width
 
 VM_BUS_MAP = BusMap(
