@@ -385,3 +385,270 @@ def keccak_f_guest(seed: int = 42):
             assert got == expect[i], (i, hex(got), hex(expect[i]))
 
     return assemble(L), mem, check
+
+
+# -- ecrecover (secp256k1 public-key recovery) --------------------------------
+# Counterpart of /root/reference/openvm-riscv/guest-ecrecover: full
+# secp256k1 recovery Q = r^{-1}(sR - zG) via Shamir double-and-add,
+# running on the macro-assembled 256-bit field library (vm/asmlib.py).
+# ~6M instructions — exercises segmentation + the bus-heavy byte chips.
+
+_EC = 0x1500  # guest constant/variable block (see asmlib memory map)
+EC_R, EC_S, EC_Z = _EC, _EC + 0x20, _EC + 0x40
+EC_SEVEN, EC_ZERO = _EC + 0x60, _EC + 0x80
+EC_EXP_SQRT, EC_NM2, EC_PM2 = _EC + 0xA0, _EC + 0xC0, _EC + 0xE0
+EC_GX, EC_GY, EC_GZ = _EC + 0x100, _EC + 0x120, _EC + 0x140
+EC_RX, EC_RY, EC_RZ = _EC + 0x160, _EC + 0x180, _EC + 0x1A0
+EC_TPX, EC_TPY, EC_TPZ = _EC + 0x1C0, _EC + 0x1E0, _EC + 0x200
+EC_U1, EC_U2, EC_RINV, EC_NEGZ = _EC + 0x220, _EC + 0x240, _EC + 0x260, _EC + 0x280
+EC_T0, EC_RN = _EC + 0x2A0, _EC + 0x2E0
+EC_SH_I, EC_PARITY = _EC + 0x2C0, _EC + 0x2C4
+
+
+def _emit_bit_read(a, scal_addr: int, i_reg: int, out_reg: int):
+    """out = bit i_reg of the 256-bit scalar at scal_addr."""
+    from . import asmlib as al
+
+    a.l("srli", 3, i_reg, 0, 5)
+    a.l("slli", 3, 3, 0, 2)
+    a.li(4, scal_addr)
+    a.l("add", 3, 3, 4)
+    a.l("lw", out_reg, 3, 0, 0)
+    a.l("andi", 4, i_reg, 0, 31)
+    a.l("srl", out_reg, out_reg, 4)
+    a.l("andi", out_reg, out_reg, 0, 1)
+
+
+def ecrecover_guest(seed: int = 5):
+    """Full secp256k1 ecrecover; check() compares the recovered point to
+    the signer's public key (python affine reference, asmlib.PyCurve)."""
+    import random
+
+    from . import asmlib as al
+    from .asmlib import (
+        ACCX, ACCY, ACCZ, ACC_INF, DESC_N, DESC_P, MB, ME, MO, OUT,
+        QX, QY, QZ, STACK_TOP, Asm, fe_add, fe_mul, fe_sub,
+    )
+
+    rnd = random.Random(seed)
+    curve = al.PyCurve()
+    d = rnd.randrange(1, curve.n)
+    k = rnd.randrange(1, curve.n)
+    z = rnd.randrange(1, curve.n)
+    r, s, parity = curve.sign(z, d, k)
+    pub = curve.mul(d, curve.G)
+    assert curve.recover(z, r, s, parity) == pub
+
+    mem = {}
+    mem.update(al.desc_mem(DESC_P, curve.p))
+    mem.update(al.desc_mem(DESC_N, curve.n))
+    mp = lambda v: al.to_mont(v, curve.p)
+    mn = lambda v: al.to_mont(v, curve.n)
+    for addr, v in [
+        # mod-p operands in Montgomery form
+        (EC_R, mp(r)), (EC_SEVEN, mp(7)), (EC_ZERO, 0),
+        (EC_GX, mp(curve.G[0])), (EC_GY, mp(curve.G[1])), (EC_GZ, mp(1)),
+        (EC_RZ, mp(1)),
+        # mod-n operands in Montgomery form
+        (EC_RN, mn(r)), (EC_S, mn(s)), (EC_Z, mn(z)),
+        # exponents stay raw bit patterns
+        (EC_EXP_SQRT, (curve.p + 1) // 4), (EC_NM2, curve.n - 2),
+        (EC_PM2, curve.p - 2),
+    ]:
+        mem.update(al.fe_mem(addr, v))
+    mem[EC_PARITY] = parity
+
+    a = Asm()
+    a.li(2, STACK_TOP)
+    a.li(19, DESC_P)
+    # alpha = r^3 + 7
+    fe_mul(a, EC_T0, EC_R, EC_R)
+    fe_mul(a, EC_T0, EC_T0, EC_R)
+    fe_add(a, EC_T0, EC_T0, EC_SEVEN)
+    # y = alpha ^ ((p+1)/4)
+    a.copy32(MB, EC_T0)
+    a.copy32(ME, EC_EXP_SQRT)
+    a.call("modpow")
+    a.copy32(EC_RY, MO)
+    # parity fix: if (canonical y & 1) != parity: y = p - y  (the lsb
+    # lives on the canonical value; y itself stays in Montgomery form)
+    par_ok = a.fresh("ec_parok")
+    fe_mul(a, EC_T0, EC_RY, al.ONE_RAW_SLOT)  # from-Montgomery
+    a.l("lw", 5, 0, 0, EC_T0)
+    a.l("andi", 5, 5, 0, 1)
+    a.l("lw", 6, 0, 0, EC_PARITY)
+    a.l("beq", 0, 5, 6, par_ok)
+    fe_sub(a, EC_RY, EC_ZERO, EC_RY)
+    a.label(par_ok)
+    a.copy32(EC_RX, EC_R)
+    # scalars mod n: r_inv = r^(n-2); u1 = (n - z) * r_inv; u2 = s * r_inv
+    a.li(19, DESC_N)
+    a.copy32(MB, EC_RN)
+    a.copy32(ME, EC_NM2)
+    a.call("modpow")
+    a.copy32(EC_RINV, MO)
+    fe_sub(a, EC_NEGZ, EC_ZERO, EC_Z)
+    fe_mul(a, EC_U1, EC_NEGZ, EC_RINV)
+    fe_mul(a, EC_U2, EC_S, EC_RINV)
+    # the ladder reads scalar BITS: convert u1/u2 to canonical form
+    fe_mul(a, EC_U1, EC_U1, al.ONE_RAW_SLOT)
+    fe_mul(a, EC_U2, EC_U2, al.ONE_RAW_SLOT)
+    # T = G + R (Jacobian, both z = 1)
+    a.li(19, DESC_P)
+    a.copy32(ACCX, EC_GX)
+    a.copy32(ACCY, EC_GY)
+    a.copy32(ACCZ, EC_GZ)
+    a.l("sw", 0, 0, 0, ACC_INF)
+    a.copy32(QX, EC_RX)
+    a.copy32(QY, EC_RY)
+    a.copy32(QZ, EC_RZ)
+    a.call("pt_add")
+    a.copy32(EC_TPX, ACCX)
+    a.copy32(EC_TPY, ACCY)
+    a.copy32(EC_TPZ, ACCZ)
+    # Shamir double-and-add over (u1, u2)
+    a.copy32(ACCX, EC_GX)  # well-defined dummy coords while flagged ∞
+    a.copy32(ACCY, EC_GY)
+    a.copy32(ACCZ, EC_GZ)
+    a.store_imm(ACC_INF, 1)
+    a.store_imm(EC_SH_I, 255)
+    loop = a.fresh("ec_loop")
+    no_add = a.fresh("ec_noadd")
+    add_g = a.fresh("ec_addg")
+    add_r = a.fresh("ec_addr")
+    do_add = a.fresh("ec_doadd")
+    loop_end = a.fresh("ec_lend")
+    a.label(loop)
+    a.call("pt_dbl")
+    a.l("lw", 9, 0, 0, EC_SH_I)
+    _emit_bit_read(a, EC_U1, 9, 10)
+    a.l("lw", 9, 0, 0, EC_SH_I)
+    _emit_bit_read(a, EC_U2, 9, 11)
+    a.l("beq", 0, 10, 0, add_r)  # b1 == 0 -> maybe R only
+    a.l("beq", 0, 11, 0, add_g)  # b1 = 1, b2 = 0 -> G
+    a.copy32(QX, EC_TPX)  # both -> T = G + R
+    a.copy32(QY, EC_TPY)
+    a.copy32(QZ, EC_TPZ)
+    a.l("jal", 30, 0, 0, do_add)
+    a.label(add_g)
+    a.copy32(QX, EC_GX)
+    a.copy32(QY, EC_GY)
+    a.copy32(QZ, EC_GZ)
+    a.l("jal", 30, 0, 0, do_add)
+    a.label(add_r)
+    a.l("beq", 0, 11, 0, no_add)  # b1 = b2 = 0
+    a.copy32(QX, EC_RX)
+    a.copy32(QY, EC_RY)
+    a.copy32(QZ, EC_RZ)
+    a.label(do_add)
+    a.call("pt_add")
+    a.label(no_add)
+    a.l("lw", 9, 0, 0, EC_SH_I)
+    a.l("beq", 0, 9, 0, loop_end)
+    a.l("addi", 9, 9, 0, -1)
+    a.l("sw", 0, 0, 9, EC_SH_I)
+    a.l("jal", 30, 0, 0, loop)
+    a.label(loop_end)
+    # to affine: zinv = Z^(p-2); x = X*zinv^2; y = Y*zinv^3
+    a.copy32(MB, ACCZ)
+    a.copy32(ME, EC_PM2)
+    a.call("modpow")
+    fe_mul(a, EC_T0, MO, MO)  # zinv^2
+    fe_mul(a, EC_NEGZ, EC_T0, MO)  # zinv^3 (reuse slot)
+    fe_mul(a, OUT, ACCX, EC_T0)
+    fe_mul(a, OUT + 0x20, ACCY, EC_NEGZ)
+    # outputs to canonical form
+    fe_mul(a, OUT, OUT, al.ONE_RAW_SLOT)
+    fe_mul(a, OUT + 0x20, OUT + 0x20, al.ONE_RAW_SLOT)
+    a.l("halt",)
+
+    al.emit_field_lib(a)
+    al.emit_pt_dbl(a)
+    al.emit_pt_add(a)
+
+    def check(result):
+        got_x = al.from_limbs(
+            [result.final_mem[(2, OUT + 4 * i)][1] for i in range(8)]
+        )
+        got_y = al.from_limbs(
+            [result.final_mem[(2, OUT + 0x20 + 4 * i)][1] for i in range(8)]
+        )
+        assert (got_x, got_y) == pub, ((hex(got_x), hex(got_y)), pub)
+
+    return assemble(a.lines), mem, check
+
+
+# -- pairing-shaped big-field workload ----------------------------------------
+# Counterpart of /root/reference/openvm-riscv/guest-pairing's arithmetic
+# profile: a Miller-loop-shaped Fp2 ladder over the BN254 base field
+# (f <- f^2 * g, 64 iterations), the largest-trace BASELINE stress shape.
+
+_PR = 0x1B00
+PR_F0, PR_F1, PR_G0, PR_G1 = _PR, _PR + 0x20, _PR + 0x40, _PR + 0x60
+PR_T0, PR_T1, PR_T2, PR_T3 = _PR + 0x80, _PR + 0xA0, _PR + 0xC0, _PR + 0xE0
+PR_I = _PR + 0x100
+PR_OUT0, PR_OUT1 = _PR + 0x120, _PR + 0x140
+
+
+def pairing_guest(iters: int = 64, seed: int = 11):
+    """64-round Fp2 square-and-multiply ladder over BN254 (u^2 = -1):
+    f <- f^2 * g.  check() compares against a python Fp2 reference."""
+    import random
+
+    from . import asmlib as al
+    from .asmlib import DESC_BN, STACK_TOP, Asm, fe_add, fe_mul, fe_sub
+
+    p = al._P_BN254
+    rnd = random.Random(seed)
+    f = (rnd.randrange(p), rnd.randrange(p))
+    g = (rnd.randrange(p), rnd.randrange(p))
+
+    def fp2_mul(x, y):
+        return ((x[0] * y[0] - x[1] * y[1]) % p, (x[0] * y[1] + x[1] * y[0]) % p)
+
+    expect = f
+    for _ in range(iters):
+        expect = fp2_mul(fp2_mul(expect, expect), g)
+
+    mem = {}
+    mem.update(al.desc_mem(DESC_BN, p))
+    for addr, v in [(PR_F0, f[0]), (PR_F1, f[1]), (PR_G0, g[0]), (PR_G1, g[1])]:
+        mem.update(al.fe_mem(addr, al.to_mont(v, p)))
+
+    a = Asm()
+    a.li(2, STACK_TOP)
+    a.li(19, DESC_BN)
+    a.store_imm(PR_I, iters)
+    loop = a.fresh("pr_loop")
+    done = a.fresh("pr_done")
+
+    def emit_fp2_mul(o0, o1, x0, x1, y0, y1):
+        fe_mul(a, PR_T2, x0, y0)
+        fe_mul(a, PR_T3, x1, y1)
+        fe_sub(a, PR_T2, PR_T2, PR_T3)  # real part
+        fe_mul(a, PR_T3, x0, y1)
+        fe_mul(a, o1, x1, y0)
+        fe_add(a, o1, o1, PR_T3)  # imag part
+        a.copy32(o0, PR_T2)
+
+    a.label(loop)
+    a.l("lw", 9, 0, 0, PR_I)
+    a.l("beq", 0, 9, 0, done)
+    emit_fp2_mul(PR_T0, PR_T1, PR_F0, PR_F1, PR_F0, PR_F1)  # f^2
+    emit_fp2_mul(PR_F0, PR_F1, PR_T0, PR_T1, PR_G0, PR_G1)  # * g
+    a.l("lw", 9, 0, 0, PR_I)
+    a.l("addi", 9, 9, 0, -1)
+    a.l("sw", 0, 0, 9, PR_I)
+    a.l("jal", 30, 0, 0, loop)
+    a.label(done)
+    fe_mul(a, PR_OUT0, PR_F0, al.ONE_RAW_SLOT)  # to canonical
+    fe_mul(a, PR_OUT1, PR_F1, al.ONE_RAW_SLOT)
+    a.l("halt",)
+    al.emit_field_lib(a)
+
+    def check(result):
+        got0 = al.from_limbs([result.final_mem[(2, PR_OUT0 + 4 * i)][1] for i in range(8)])
+        got1 = al.from_limbs([result.final_mem[(2, PR_OUT1 + 4 * i)][1] for i in range(8)])
+        assert (got0, got1) == expect, ((hex(got0), hex(got1)), expect)
+
+    return assemble(a.lines), mem, check

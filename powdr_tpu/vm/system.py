@@ -388,8 +388,12 @@ def evaluate_chip_exprs(chip: Chip):
 
 
 def mock_check(chips: List[Chip]) -> None:
-    """Raises AssertionError with a precise location on any violation."""
-    buses: Dict[Tuple, int] = {}
+    """Raises AssertionError with a precise location on any violation.
+
+    Vectorized: constraints evaluate row-wise in numpy; bus balance groups
+    every chip's nonzero messages per (bus, arity) and settles each group
+    with one unique-rows pass (scales to millions of rows)."""
+    groups: Dict[Tuple[int, int], List[Tuple[np.ndarray, np.ndarray]]] = {}
     for chip in chips:
         cons, ints = evaluate_chip_exprs(chip)
         for ci, arr in enumerate(cons):
@@ -398,12 +402,33 @@ def mock_check(chips: List[Chip]) -> None:
                 f"chip {chip.name}: constraint {ci} fails at rows {bad[:5]}"
             )
         for bus_id, mult, args in ints:
-            nz = np.nonzero(mult)[0]
-            for r in nz:
-                key = (bus_id, tuple(int(a[r]) for a in args))
-                buses[key] = (buses.get(key, 0) + int(mult[r])) % P
-    imbalance = {k: v for k, v in buses.items() if v % P != 0}
-    assert not imbalance, f"bus imbalance on {len(imbalance)} messages, e.g. {list(imbalance.items())[:3]}"
+            mask = mult != 0
+            if not mask.any():
+                continue
+            rows = np.stack([np.asarray(a)[mask] for a in args], axis=1)
+            groups.setdefault((bus_id, len(args)), []).append(
+                (rows, mult[mask].astype(np.int64))
+            )
+    imbalance = []
+    for (bus_id, _k), parts in groups.items():
+        rows = np.concatenate([r for r, _ in parts], axis=0)
+        mults = np.concatenate([m for _, m in parts])
+        # group identical rows: lexsort + boundary detection + reduceat
+        # (much faster than np.unique(axis=0) at tens of millions of rows)
+        order = np.lexsort(rows.T[::-1])
+        rs = rows[order]
+        ms = mults[order]
+        change = np.empty(len(rs), dtype=bool)
+        change[0] = True
+        np.any(rs[1:] != rs[:-1], axis=1, out=change[1:])
+        starts = np.nonzero(change)[0]
+        sums = np.add.reduceat(ms, starts)
+        bad = np.nonzero(sums % P != 0)[0]
+        for b in bad[:3]:
+            imbalance.append(
+                (bus_id, tuple(int(v) for v in rs[starts[b]]), int(sums[b] % P))
+            )
+    assert not imbalance, f"bus imbalance, e.g. {imbalance[:3]}"
 
 
 # -- full system assembly -----------------------------------------------------

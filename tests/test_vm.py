@@ -399,3 +399,48 @@ def test_segmentation_tampered_refresh_fails():
     ref.trace["v__0"][0] = (ref.trace["v__0"][0] + 1) % 2013265921
     with pytest.raises(AssertionError):
         mock_check(chips)
+
+
+def test_guest_pairing_small():
+    """Fp2 ladder over BN254 (pairing-shaped workload, 2 rounds):
+    Montgomery CIOS field core + mock check."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import pairing_guest
+
+    from powdr_tpu.vm.isa import SEG_STEPS
+
+    prog, mem, check = pairing_guest(iters=2)
+    res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS)
+    check(res)
+    mock_check(build_chips(prog, res))
+
+
+@pytest.mark.slow
+def test_guest_pairing():
+    """Full 64-round BN254 Fp2 ladder (~1M instructions, segmented) —
+    the guest-pairing BASELINE counterpart; mock-checked end to end."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import pairing_guest
+    from powdr_tpu.vm.isa import SEG_STEPS
+
+    prog, mem, check = pairing_guest()
+    res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS)
+    assert res.instret > 5 * SEG_STEPS
+    check(res)
+    mock_check(build_chips(prog, res))
+
+
+@pytest.mark.slow
+def test_guest_ecrecover():
+    """Full secp256k1 public-key recovery (~13M instructions, ~400
+    segments) — the guest-ecrecover BASELINE counterpart.  check()
+    compares the recovered point against the signer's public key;
+    the whole trace mock-checks (constraints + bus multisets)."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import ecrecover_guest
+    from powdr_tpu.vm.isa import SEG_STEPS
+
+    prog, mem, check = ecrecover_guest()
+    res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS, max_steps=1 << 24)
+    check(res)
+    mock_check(build_chips(prog, res))
