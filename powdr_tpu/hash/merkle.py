@@ -55,6 +55,20 @@ class MerkleTree:
             idx >>= 1
         return np.array(sibs, dtype=np.uint32).reshape(-1, p2.DIGEST)
 
+    def open_paths_device(self, indices) -> jnp.ndarray:
+        """Sibling paths for many leaves, gathered ON DEVICE: (Q, depth, 8)
+        Montgomery digests, not yet fetched.  The query phase fetches only
+        these gathers (a few KB) instead of whole layers — on a tunneled
+        TPU the device->host link is the prover's scarcest resource."""
+        idx = np.array(indices, dtype=np.int64)  # copy: >>= below must not
+        sibs = []                                 # alias the caller's array
+        for layer in self.layers[:-1]:
+            sibs.append(jnp.take(layer, jnp.asarray(idx ^ 1), axis=0))
+            idx >>= 1
+        if not sibs:
+            return jnp.zeros((len(idx), 0, p2.DIGEST), dtype=jnp.uint32)
+        return jnp.stack(sibs, axis=1)
+
 
 def root_only(leaf_digests: jnp.ndarray) -> jnp.ndarray:
     """Jit-friendly root computation (no layer retention), (n,8)->(8,)."""

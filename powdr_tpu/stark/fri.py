@@ -169,21 +169,34 @@ def prove(
 
     pow_witness = challenger.grind(config.proof_of_work_bits)
 
-    # queries
+    # queries: pairs + sibling paths gathered ON DEVICE per layer, one
+    # device_get for everything (fetching whole codewords through the
+    # tunneled-TPU link dominated proof latency otherwise)
+    qs = np.array(
+        [challenger.sample_bits(log_n - 1) for _ in range(config.num_queries)],
+        dtype=np.int64,
+    )
+    idx = qs.copy()
+    gathers = []
+    for cw, tree in layers:
+        h = cw.shape[0] // 2
+        i = idx % h
+        pairs = bb.from_mont(jnp.take(_pair_leaves(cw), jnp.asarray(i), axis=0))
+        paths = tree.open_paths_device(i)
+        gathers.append((pairs, paths))
+        idx = i  # the folded value g[i] lives at index i of the next codeword
+    fetched = jax.device_get(gathers)
+
     queries = []
-    host_layers = [(np.asarray(bb.from_mont(_pair_leaves(c))), t) for c, t in layers]
-    for _ in range(config.num_queries):
-        q = challenger.sample_bits(log_n - 1)
-        idx = q
-        qlayers = []
-        for pairs, tree in host_layers:
-            h = pairs.shape[0]
-            i = idx % h
-            qlayers.append(
-                FriQueryLayer(pair=pairs[i].reshape(2, 4).copy(), path=tree.open(i))
+    for k, q in enumerate(qs):
+        qlayers = [
+            FriQueryLayer(
+                pair=np.array(pairs[k], dtype=np.uint32).reshape(2, 4),
+                path=np.array(paths[k]),
             )
-            idx = i  # the folded value g[i] lives at index i of the next codeword
-        queries.append(FriQuery(index=q, layers=qlayers))
+            for pairs, paths in fetched
+        ]
+        queries.append(FriQuery(index=int(q), layers=qlayers))
 
     return FriProof(layer_roots=roots, final_poly=final_poly, pow_witness=pow_witness, queries=queries)
 

@@ -277,21 +277,32 @@ def open_matrices(
 
     fri_proof = fri_mod.prove(acc, config, challenger)
 
-    # per-query row openings (per-matrix indices: q mod (N_m / 2))
-    host_ldes = [np.asarray(bb.from_mont(m.lde)) for m in mats]
+    # per-query row openings (per-matrix indices: q mod (N_m / 2)).
+    # All rows + sibling paths are gathered ON DEVICE and fetched in one
+    # device_get — the tunneled-TPU link is ~MB/s, so fetching whole LDE
+    # matrices (the old path) dominated end-to-end proof latency.
+    qs = np.array([fq.index for fq in fri_proof.queries], dtype=np.int64)
+    nq = len(qs)
+    gathers = []
+    for mat, log_N in zip(mats, log_Ns):
+        half = (1 << log_N) // 2
+        i_m = qs % half
+        both = np.concatenate([i_m, i_m + half])
+        rows = bb.from_mont(jnp.take(mat.lde, jnp.asarray(both), axis=0))
+        paths = mat.tree.open_paths_device(both)
+        gathers.append((rows, paths))
+    fetched = jax.device_get(gathers)
+
     queries: List[PcsQuery] = []
-    for fq in fri_proof.queries:
-        q = fq.index
+    for k in range(nq):
         per_matrix = []
-        for mat, lde, log_N in zip(mats, host_ldes, log_Ns):
-            half = (1 << log_N) // 2
-            i_m = q % half
+        for rows, paths in fetched:
             per_matrix.append(
                 PcsMatrixQuery(
-                    row_lo=lde[i_m].copy(),
-                    row_hi=lde[i_m + half].copy(),
-                    path_lo=mat.tree.open(i_m),
-                    path_hi=mat.tree.open(i_m + half),
+                    row_lo=np.array(rows[k], dtype=np.uint32),
+                    row_hi=np.array(rows[nq + k], dtype=np.uint32),
+                    path_lo=np.array(paths[k]),
+                    path_hi=np.array(paths[nq + k]),
                 )
             )
         queries.append(PcsQuery(per_matrix=per_matrix))
