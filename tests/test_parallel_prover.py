@@ -3,6 +3,7 @@ to the single-chip prover's, and that proof must verify with the
 unchanged host verifier (VERDICT round-1 item 4; SURVEY.md §2
 'Parallelism strategies')."""
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 from jax.sharding import Mesh
@@ -48,6 +49,7 @@ def _chips(rng, log_n=6):
     return [big, small], [(big, big_trace), (small, small_trace)]
 
 
+@pytest.mark.slow
 def test_prove_on_mesh_bit_exact_and_verifies(rng):
     airs, chips = _chips(rng)
     mesh = Mesh(np.array(jax.devices()[:8]), (AXIS,))
