@@ -47,8 +47,10 @@ struct Cell {
 };
 
 struct Memory {
-  // registers: flat (the vast majority of accesses); RAM: hash map
-  Cell regs[32];
+  // registers: flat (the vast majority of accesses); RAM: hash map.
+  // 33 slots: x0-x31 plus the x32 discard register the ELF loader maps
+  // architectural x0 writes to (vm/elf.py).
+  Cell regs[33];
   std::unordered_map<uint32_t, Cell> ram;
   std::unordered_map<uint64_t, uint32_t> init_map;
   // segmentation: cells first touched in epoch k > 0 start refreshed at
@@ -58,7 +60,7 @@ struct Memory {
 
   Cell& cell(uint32_t space, uint32_t ptr) {
     if (space == 1) {
-      Cell& c = regs[ptr & 31];
+      Cell& c = regs[ptr % 33];
       if (!c.touched && cur_epoch > 0) {
         c.created_epoch = cur_epoch;
         c.ts = (uint64_t)cur_epoch * epoch_ticks;
@@ -112,7 +114,10 @@ int64_t powdr_execute(
     int64_t* ref_seg, uint64_t* ref_key, uint32_t* ref_val, uint64_t* ref_prev_ts,
     int64_t ref_cap, int64_t* n_ref,
     int64_t* eref_seg, uint32_t* eref_pc, uint64_t* eref_prev_ts,
-    int64_t eref_cap, int64_t* n_eref) {
+    int64_t eref_cap, int64_t* n_eref,
+    // program counter space: program[i] sits at vaddr pc_base + 4*i;
+    // execution starts at start_pc (ELF entry support)
+    uint32_t pc_base, uint32_t start_pc) {
   Memory mem;
   mem.init_map.reserve(n_init * 2 + 16);
   for (int64_t i = 0; i < n_init; i++) mem.init_map[init_addr[i]] = init_val[i];
@@ -120,7 +125,7 @@ int64_t powdr_execute(
   mem.epoch_ticks = E;
   int64_t nref = 0, neref = 0;
 
-  uint32_t pc = 0;
+  uint32_t pc = start_pc;
   uint64_t ts = 1;
   int64_t steps = 0;
   bool halted = false;
@@ -145,14 +150,15 @@ int64_t powdr_execute(
         c.ts = (uint64_t)b * E;
         return true;
       };
-      for (uint32_t r = 0; r < 32; r++)
+      for (uint32_t r = 0; r < 33; r++)
         if (mem.regs[r].touched && !refresh((uint64_t(1) << 32) | r, mem.regs[r])) return -2;
       for (auto& kv : mem.ram)
         if (!refresh((uint64_t(2) << 32) | kv.first, kv.second)) return -2;
       mem.cur_epoch = (int32_t)b;
     }
-    if (pc % 4 != 0 || pc / 4 >= (uint64_t)n_prog) return -1;
-    int64_t idx = pc / 4;
+    if (pc % 4 != 0 || pc < pc_base || (pc - pc_base) / 4 >= (uint64_t)n_prog)
+      return -1;
+    int64_t idx = (pc - pc_base) / 4;
     int32_t o = op[idx];
     out_op[steps] = o;
     out_pc[steps] = pc;
@@ -388,7 +394,7 @@ int64_t powdr_execute(
     }
     return true;
   };
-  for (uint32_t r = 0; r < 32; r++)
+  for (uint32_t r = 0; r < 33; r++)
     if (mem.regs[r].touched && !backfill((uint64_t(1) << 32) | r, mem.regs[r])) return -2;
   for (auto& kv : mem.ram)
     if (!backfill((uint64_t(2) << 32) | kv.first, kv.second)) return -2;
@@ -397,7 +403,7 @@ int64_t powdr_execute(
 
   // final memory dump
   int64_t nf = 0;
-  for (uint32_t r = 0; r < 32; r++) {
+  for (uint32_t r = 0; r < 33; r++) {
     if (!mem.regs[r].touched) continue;
     if (nf >= fin_cap) return -1;
     fin_key[nf] = (uint64_t(1) << 32) | r;

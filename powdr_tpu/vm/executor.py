@@ -39,11 +39,22 @@ class ExecutionResult:
     exec_refresh: "Optional[dict]" = None
     #: timestamp ticks per segment epoch (E); set when segmented
     epoch_ticks: int = 0
+    #: program[i] sits at vaddr pc_base + 4*i; execution began at start_pc
+    pc_base: int = 0
+    start_pc: int = 0
 
 
 class Executor:
-    def __init__(self, program: List[Instruction], initial_mem: Optional[Dict[int, int]] = None):
+    def __init__(
+        self,
+        program: List[Instruction],
+        initial_mem: Optional[Dict[int, int]] = None,
+        pc_base: int = 0,
+        start_pc: Optional[int] = None,
+    ):
         self.program = program
+        self.pc_base = pc_base
+        self.start_pc = start_pc if start_pc is not None else pc_base
         self.regs = [0] * 32
         self.mem: Dict[int, int] = dict(initial_mem or {})
         self.initial_mem = dict(initial_mem or {})
@@ -87,7 +98,7 @@ class Executor:
     ) -> ExecutionResult:
         records: Dict[str, List[dict]] = {}
         pc_trace: List[int] = []
-        pc, ts = 0, 1
+        pc, ts = self.start_pc, 1
         halted = False
         steps = 0
         E = (segment_steps or 0) * TS_DELTA
@@ -111,8 +122,8 @@ class Executor:
                     mem_ref["prev_ts"].append(cts)
                     self.cells[(sp, pt)] = (b * E, val)
                 self._cur_epoch = b
-            idx = pc // 4
-            assert 0 <= idx < len(self.program), f"pc {pc} out of program"
+            idx = (pc - self.pc_base) // 4
+            assert pc >= self.pc_base and 0 <= idx < len(self.program), f"pc {pc} out of program"
             ins = self.program[idx]
             pc_trace.append(pc)
             rec = {
@@ -367,6 +378,8 @@ class Executor:
             mem_refresh=mem_refresh,
             exec_refresh=exec_refresh,
             epoch_ticks=E if segment_steps else 0,
+            pc_base=self.pc_base,
+            start_pc=self.start_pc,
         )
 
 

@@ -51,6 +51,7 @@ def _lib():
             ctypes.c_int64,
             i64p, u64p, u32p, u64p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
             i64p, u32p, u64p, ctypes.c_int64, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_uint32, ctypes.c_uint32,
         ]
         _LIB = lib
     return _LIB
@@ -95,7 +96,7 @@ def _buffers(max_steps: int):
 
 
 
-def _call_core(program, initial_mem, max_steps, segment_steps):
+def _call_core(program, initial_mem, max_steps, segment_steps, pc_base=0, start_pc=None):
     """Invoke the native core; returns (steps, buffers..., refresh arrays)."""
     lib = _lib()
     n = len(program)
@@ -142,6 +143,7 @@ def _call_core(program, initial_mem, max_steps, segment_steps):
             seg,
             ref_seg, ref_key, ref_val, ref_pts, ref_cap, ctypes.byref(n_ref),
             eref_seg, eref_pc, eref_pts, eref_cap, ctypes.byref(n_eref),
+            pc_base, start_pc if start_pc is not None else pc_base,
         )
         if steps == -2:
             ref_cap *= 4  # refresh-row buffer too small; rerun
@@ -178,6 +180,8 @@ def run_native_columnar(
     initial_mem: Optional[Dict[int, int]] = None,
     max_steps: int = 1 << 22,
     segment_steps: Optional[int] = None,
+    pc_base: int = 0,
+    start_pc: Optional[int] = None,
 ) -> ExecutionResult:
     """Native execution with COLUMNAR records: per-opcode field arrays
     (uint64), never materializing per-row dicts.  `result.records` is left
@@ -195,11 +199,11 @@ def run_native_columnar(
         out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
         fin_key, fin_ts, fin_val, fin_init, nf,
         mem_refresh, exec_refresh,
-    ) = _call_core(program, initial_mem, max_steps, segment_steps)
+    ) = _call_core(program, initial_mem, max_steps, segment_steps, pc_base, start_pc)
 
     ops_t = out_op[:steps]
     pc_t = out_pc[:steps].astype(np.uint64)
-    ins_idx = (pc_t >> 2).astype(np.int64)
+    ins_idx = ((pc_t - np.uint64(pc_base)) >> np.uint64(2)).astype(np.int64)
     pts = out_pts[: 4 * steps].reshape(steps, 4)
 
     records_columnar: Dict[str, dict] = {}
@@ -243,6 +247,8 @@ def run_native_columnar(
         mem_refresh=mem_refresh if segment_steps else None,
         exec_refresh=exec_refresh if segment_steps else None,
         epoch_ticks=(segment_steps or 0) * TS_DELTA,
+        pc_base=pc_base,
+        start_pc=start_pc if start_pc is not None else pc_base,
     )
 
 
@@ -251,13 +257,15 @@ def run_native(
     initial_mem: Optional[Dict[int, int]] = None,
     max_steps: int = 1 << 20,
     segment_steps: Optional[int] = None,
+    pc_base: int = 0,
+    start_pc: Optional[int] = None,
 ) -> ExecutionResult:
     (
         steps, rd_a, rs1_a, rs2_a, imm_a,
         out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
         fin_key, fin_ts, fin_val, fin_init, nf,
         mem_refresh, exec_refresh,
-    ) = _call_core(program, initial_mem, max_steps, segment_steps)
+    ) = _call_core(program, initial_mem, max_steps, segment_steps, pc_base, start_pc)
 
     records: Dict[str, List[dict]] = {}
     pc_trace: List[int] = []
@@ -265,7 +273,7 @@ def run_native(
         opname = OPCODES[out_op[s_]]
         pc = int(out_pc[s_])
         pc_trace.append(pc)
-        ins = program[pc // 4]
+        ins = program[(pc - pc_base) // 4]
         na = _N_ACCESS[opname]
         rec = {
             "op": opname,
@@ -303,4 +311,6 @@ def run_native(
         mem_refresh=mem_refresh if segment_steps else None,
         exec_refresh=exec_refresh if segment_steps else None,
         epoch_ticks=(segment_steps or 0) * TS_DELTA,
+        pc_base=pc_base,
+        start_pc=start_pc if start_pc is not None else pc_base,
     )

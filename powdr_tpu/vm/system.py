@@ -101,7 +101,7 @@ def instruction_chips(result: ExecutionResult) -> List[Chip]:
 # -- program chip -------------------------------------------------------------
 
 
-def program_chip(program: List[Instruction], pc_trace: List[int]) -> Chip:
+def program_chip(program: List[Instruction], pc_trace: List[int], pc_base: int = 0) -> Chip:
     b = MachineBuilder(name="program")
     cols = ["pc", "opcode", "rd", "rs1", "rs2", "imm_lo", "imm_hi", "count"]
     vars_ = {c: b.col(c) for c in cols}
@@ -115,7 +115,7 @@ def program_chip(program: List[Instruction], pc_trace: List[int]) -> Chip:
         counts[pc] = counts.get(pc, 0) + 1
     rows = {c: [] for c in cols}
     for i, ins in enumerate(program):
-        pc = 4 * i
+        pc = pc_base + 4 * i
         args = ins.pc_args(pc)
         for c, v in zip(cols[:-1], args):
             rows[c].append(v % P)
@@ -132,11 +132,11 @@ def program_chip(program: List[Instruction], pc_trace: List[int]) -> Chip:
 # -- boundary chips -----------------------------------------------------------
 
 
-def exec_boundary_chip() -> Chip:
+def exec_boundary_chip(start_pc: int = 0) -> Chip:
     b = MachineBuilder(name="exec_init")
     active = b.col("active")
     b.require(ir.Mul(active, ir.Sub(active, ir.Const(1))))
-    b.send(EXEC_BUS, active, [ir.Const(0), ir.Const(1)])
+    b.send(EXEC_BUS, active, [ir.Const(start_pc), ir.Const(1)])
     trace = {"active": np.array([1], dtype=np.uint64)}
     return Chip(name="exec_init", machine=b.machine(), cols=b.cols, trace=_pad_pow2(trace))
 
@@ -436,8 +436,8 @@ def mock_check(chips: List[Chip]) -> None:
 
 def build_chips(program: List[Instruction], result: ExecutionResult) -> List[Chip]:
     chips = instruction_chips(result)
-    chips.append(program_chip(program, result.pc_trace))
-    chips.append(exec_boundary_chip())
+    chips.append(program_chip(program, result.pc_trace, pc_base=result.pc_base))
+    chips.append(exec_boundary_chip(start_pc=result.start_pc))
     chips.append(memory_boundary_chip(result))
     if result.mem_refresh is not None and len(result.mem_refresh["seg"]):
         chips.append(mem_refresh_chip(result.mem_refresh, result.epoch_ticks))
