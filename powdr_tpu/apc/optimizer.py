@@ -119,6 +119,33 @@ def solver_pass(state: OptimizerState) -> None:
     )
 
 
+def linearizer_pass(state: OptimizerState) -> None:
+    """Solve a linearized copy (shared quadratic products as internal
+    variables, solver/linearizer.rs analog) and apply the original-variable
+    deductions: catches cross-constraint facts the direct quadratic
+    analysis misses."""
+    from ..solver.solver import solve_system_linearized
+    from ..solver.constraint_system import IndexedSystem
+
+    result = solve_system_linearized(state.system, ranges=state.bus_ranges)
+    if not (result.assignments or result.substitutions or result.ranges):
+        return
+    idx = IndexedSystem(state.system)
+    for v, c in result.assignments.items():
+        state.derived.append((v, GE.from_const(c)))
+        idx.substitute(v, GE.from_const(c))
+    for v, repl in result.substitutions.items():
+        if v in result.assignments:
+            continue
+        state.derived.append((v, repl))
+        idx.substitute(v, repl)
+    for v, rc in result.ranges.items():
+        if v in result.assignments:
+            continue
+        cur = state.bus_ranges.get(v, RangeConstraint.default())
+        state.bus_ranges[v] = cur.conjunction(rc)
+
+
 def remove_trivial(state: OptimizerState) -> None:
     """Drop zero constraints and exact duplicates (same canonical key)."""
     seen = set()
@@ -488,7 +515,11 @@ def exhaustive_search_pass(state: OptimizerState, bus_map=None) -> None:
 
     facts = collect_range_facts(state, bus_map) if bus_map is not None else []
     facts = [(e, M) for e, M in facts if e.linear and len(e.linear) <= 12]
-    agg = exhaustive_pass(state.system, state.bus_ranges, facts=facts)
+    if not hasattr(state, "_exhaustive_cache"):
+        state._exhaustive_cache = {}
+    agg = exhaustive_pass(
+        state.system, state.bus_ranges, facts=facts, cache=state._exhaustive_cache
+    )
     if agg.get("contradiction"):
         raise RuntimeError("exhaustive search found an unsatisfiable group")
     if not (agg["assign"] or agg["subs"] or agg["ranges"]):
@@ -1111,6 +1142,10 @@ def optimize_machine(
 
     if exec_bus_id is not None:
         timed("exec_bus", lambda s: collapse_exec_bus(s, exec_bus_id))
+    # one-shot: name shared quadratic products so the affine machinery can
+    # propagate across them (solver/linearizer.rs counterpart); the fixpoint
+    # passes below subsume repeated application
+    timed("linearizer", linearizer_pass)
 
     # inner pass list, mirroring constraint_optimizer.rs optimize_constraints
     # (solver -> trivial -> free vars -> disconnected -> exhaustive ->

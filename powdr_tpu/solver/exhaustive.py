@@ -24,6 +24,19 @@ from .range_constraint import RangeConstraint
 MAX_COMBOS = 1 << 10
 
 
+def _eval_ge_vec(c: GE, cols, n: int):
+    """Evaluate a GroupedExpression over all assignment rows at once.
+    cols: var -> (n,) uint64 column.  Values < P so products < 2^62."""
+    import numpy as np
+
+    acc = np.full(n, c.constant % P, dtype=np.uint64)
+    for v, k in c.linear.items():
+        acc = (acc + (k % P) * cols[v]) % np.uint64(P)
+    for l, r in c.quadratic:
+        acc = (acc + _eval_ge_vec(l, cols, n) * _eval_ge_vec(r, cols, n)) % np.uint64(P)
+    return acc
+
+
 def _mask_of(values) -> int:
     m = 0
     for v in values:
@@ -121,14 +134,36 @@ def search_group(
     order: List[int] = [v for bvars, _ in blocks for v in bvars]
     vs = sorted(var_values)
     pos = {v: i for i, v in enumerate(order)}
-    sat: List[Tuple[int, ...]] = []
-    for combo in iter_product(*(assigns for _, assigns in blocks)):
-        flat = [x for part in combo for x in part]
-        assignment = dict(zip(order, flat))
-        if all(c.eval(assignment) == 0 for c in constraints) and all(
-            e.eval(assignment) <= M for e, M in (facts or [])
-        ):
-            sat.append(tuple(flat[pos[v]] for v in vs))
+    # vectorized enumeration: build the full (n_combos, n_vars) assignment
+    # matrix (bounded by MAX_COMBOS) and evaluate every constraint over
+    # all combos at once — the scalar per-assignment eval dominated the
+    # keccak-fixture optimize time otherwise
+    import numpy as np
+
+    mat = np.zeros((1, 0), dtype=np.uint64)
+    for _bvars, assigns in blocks:
+        a = np.asarray(assigns, dtype=np.uint64).reshape(len(assigns), -1)
+        mat = np.concatenate(
+            [
+                np.repeat(mat, len(a), axis=0),
+                np.tile(a, (len(mat), 1)),
+            ],
+            axis=1,
+        )
+    cols = {v: mat[:, i] for i, v in enumerate(order)}
+    mask = np.ones(len(mat), dtype=bool)
+    for c in constraints:
+        mask &= _eval_ge_vec(c, cols, len(mat)) == 0
+        if not mask.any():
+            break
+    if mask.any():
+        for e, M in facts or []:
+            mask &= _eval_ge_vec(e, cols, len(mat)) <= M
+            if not mask.any():
+                break
+    sel = mat[mask]
+    vcols = [pos[v] for v in vs]
+    sat: List[Tuple[int, ...]] = [tuple(int(x) for x in row) for row in sel[:, vcols]]
     out: Dict = {"empty": not sat, "assign": {}, "ranges": {}, "subs": {}}
     if not sat:
         return out
@@ -174,6 +209,7 @@ def exhaustive_pass(
     ranges: Dict[int, RangeConstraint],
     max_group_vars: int = 8,
     facts: Optional[List[Tuple[GE, int]]] = None,
+    cache: Optional[Dict] = None,
 ) -> Dict:
     """One sweep: groups are the var sets of individual constraints (plus
     all constraints falling inside the group).  Returns aggregated
@@ -226,6 +262,21 @@ def exhaustive_pass(
         if key in seen_groups:
             continue
         seen_groups.add(key)
+        if cache is not None:
+            # skip a group whose inputs (constraints, ranges, facts) are
+            # unchanged since a prior pass that yielded no deductions —
+            # the optimizer fixpoint re-sweeps mostly-converged systems
+            cand_f = set()
+            for v in vs:
+                cand_f.update(occ.get(v, ()))
+            fp = hash((
+                tuple(sorted(system.constraints[i].key() for i in cand_f
+                             if by_vars[i][0] <= vs)),
+                tuple((v, (ranges[v].min, ranges[v].max, ranges[v].mask)) if v in ranges else (v, None) for v in key),
+            ))
+            if cache.get(key) == fp:
+                continue
+            cache[key] = fp
         var_values = {}
         ok = True
         for v in vs:

@@ -21,7 +21,7 @@ P = 2013265921
 
 
 class GroupedExpression:
-    __slots__ = ("quadratic", "linear", "constant")
+    __slots__ = ("quadratic", "linear", "constant", "_key")
 
     def __init__(
         self,
@@ -178,10 +178,16 @@ class GroupedExpression:
         return out
 
     def key(self):
-        """Hashable canonical key (for syntactic dedup / cancellation)."""
-        qk = tuple(sorted((l.key(), r.key()) for l, r in self.quadratic))
-        lk = tuple(sorted(self.linear.items()))
-        return (qk, lk, self.constant)
+        """Hashable canonical key (for syntactic dedup / cancellation).
+        Cached — expressions are treated as immutable after construction
+        (all mutation sites build new objects)."""
+        k = getattr(self, "_key", None)
+        if k is None:
+            qk = tuple(sorted((l.key(), r.key()) for l, r in self.quadratic))
+            lk = tuple(sorted(self.linear.items()))
+            k = (qk, lk, self.constant)
+            self._key = k
+        return k
 
     def __eq__(self, other):
         return isinstance(other, GroupedExpression) and self.key() == other.key()

@@ -456,3 +456,95 @@ def solve_system(
     derive_substitutions: bool = True,
 ) -> SolveResult:
     return Solver(system, ranges, derive_substitutions).solve()
+
+
+# -- linearizer ---------------------------------------------------------------
+
+AUX_BASE = 1 << 28  # linearizer-internal variable ids (never leak)
+
+
+def linearize_constraints(
+    constraints: List[GroupedExpression],
+) -> Tuple[List[GroupedExpression], int]:
+    """Substitute shared quadratic products by fresh internal variables
+    with defining constraints aux = l*r (solver/linearizer.rs:16-35
+    counterpart).  Only products occurring >= 2 times (by canonical key)
+    are extracted — that is where cross-constraint propagation through
+    the affine machinery gains anything.  Returns (new constraint list,
+    number of aux variables); aux ids start at AUX_BASE and must be
+    filtered from any result handed back to a real system."""
+    from collections import Counter
+
+    def pkey(l: GroupedExpression, r: GroupedExpression):
+        lk, rk = l.key(), r.key()
+        return (lk, rk) if lk <= rk else (rk, lk)
+
+    counts: Counter = Counter()
+    for c in constraints:
+        for l, r in c.quadratic:
+            if l.is_affine() and r.is_affine():
+                counts[pkey(l, r)] += 1
+    shared = {k for k, n in counts.items() if n >= 2}
+    if not shared:
+        return list(constraints), 0
+
+    aux_of: Dict = {}
+    defs: List[GroupedExpression] = []
+    out: List[GroupedExpression] = []
+    for c in constraints:
+        if not c.quadratic:
+            out.append(c)
+            continue
+        kept = []
+        lin = dict(c.linear)
+        for l, r in c.quadratic:
+            k = pkey(l, r) if l.is_affine() and r.is_affine() else None
+            if k in shared:
+                if k not in aux_of:
+                    aux = AUX_BASE + len(aux_of)
+                    aux_of[k] = aux
+                    defs.append(
+                        GroupedExpression(quadratic=[(l, r)], linear={aux: P - 1})
+                    )
+                aux = aux_of[k]
+                lin[aux] = (lin.get(aux, 0) + 1) % P
+            else:
+                kept.append((l, r))
+        out.append(
+            GroupedExpression(quadratic=kept, linear=lin, constant=c.constant)
+        )
+    return out + defs, len(aux_of)
+
+
+def solve_system_linearized(
+    system: ConstraintSystemGE,
+    ranges: Optional[Dict[int, RangeConstraint]] = None,
+) -> SolveResult:
+    """Solve a linearized COPY of the system and return only deductions
+    over the original variables (aux facts are internal).  The input
+    system is left untouched — unlike solve_system, whose Solver rewrites
+    constraints in place as it substitutes."""
+    lin_cons, n_aux = linearize_constraints(system.constraints)
+    if n_aux == 0:
+        return SolveResult()
+    from .constraint_system import BusInteractionGE
+
+    copy = ConstraintSystemGE(
+        constraints=lin_cons,
+        bus_interactions=[
+            BusInteractionGE(id=b.id, mult=b.mult, args=list(b.args))
+            for b in system.bus_interactions
+        ],
+    )
+    res = Solver(copy, ranges=dict(ranges or {})).solve()
+    out = SolveResult()
+    for v, c in res.assignments.items():
+        if v < AUX_BASE:
+            out.assignments[v] = c
+    for v, repl in res.substitutions.items():
+        if v < AUX_BASE and all(u < AUX_BASE for u in repl.variables()):
+            out.substitutions[v] = repl
+    for v, rc in res.ranges.items():
+        if v < AUX_BASE:
+            out.ranges[v] = rc
+    return out

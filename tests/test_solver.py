@@ -101,3 +101,26 @@ def test_solve_for():
     inv3 = pow(3, P - 2, P)
     assert r.linear == {1: (P - inv3) % P}
     assert r.constant == 12 * inv3 % P
+
+
+def test_linearizer_shared_products():
+    """Naming a shared quadratic product lets the affine machinery solve
+    across it (solver/linearizer.rs:16-35 counterpart): x = a*b together
+    with a*b = 3 yields x = 3, which the plain quadratic analysis misses."""
+    from powdr_tpu.solver.solver import solve_system_linearized
+
+    ab = (var(1), var(2))
+    sys = ConstraintSystemGE(
+        constraints=[
+            GE(quadratic=[ab], linear={3: P - 1}),  # a*b - x = 0
+            GE(quadratic=[ab], constant=P - 3),  # a*b - 3 = 0
+        ]
+    )
+    assert solve_system(sys).assignments == {}
+    res = solve_system_linearized(sys)
+    assert res.assignments == {3: 3}
+    # no aux variables may leak into the result
+    from powdr_tpu.solver.solver import AUX_BASE
+
+    assert all(v < AUX_BASE for v in res.assignments)
+    assert all(v < AUX_BASE for v in res.ranges)
