@@ -34,6 +34,15 @@ def _arg_ranges(bus_type, args: List[GE]) -> Optional[List[Optional[RangeConstra
         if op == 1:
             return [BYTE, BYTE, BYTE, None]
         return [BYTE, BYTE, BYTE, RangeConstraint.from_mask(1)]
+    if isinstance(bus_type, tuple) and bus_type[0] == "ByteOperations" and len(args) == 4:
+        # SP1-style opcode-tagged byte bus (adapters/sp1.py): op 0 is a
+        # U8 pair range check with z pinned to 0; ops 1..3 are xor/or/and
+        op = args[0].try_to_constant()
+        if op == 0:
+            return [None, BYTE, BYTE, RangeConstraint.from_value(0)]
+        if op in (1, 2, 3):
+            return [None, BYTE, BYTE, BYTE]
+        return None
     if isinstance(bus_type, tuple) and bus_type[0] == "TupleRangeChecker" and len(args) == 2:
         m1, m2 = bus_type[1]
         return [

@@ -101,3 +101,64 @@ class IndexedSystem:
         slot = ("c", len(self.system.constraints) - 1, 0)
         self._index_expr(slot, e)
         return slot
+
+
+def split_system(system: ConstraintSystemGE) -> List[ConstraintSystemGE]:
+    """Split into independent subsystems: every variable lives in exactly
+    one subsystem, and every constraint/bus interaction referencing it
+    travels with it (system_splitter.rs:16-59 counterpart).  Constant
+    constraints (no variables — already-substituted residue) are dropped,
+    mirroring the reference's is_redundant cleanup; variable-free bus
+    interactions form their own singleton subsystems."""
+    parent: Dict[int, int] = {}
+
+    def find(v: int) -> int:
+        r = v
+        while parent[r] != r:
+            r = parent[r]
+        while parent[v] != r:
+            parent[v], v = r, parent[v]
+        return r
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+
+    def link(vars_: Set[int]) -> None:
+        it = iter(vars_)
+        first = next(it)
+        if first not in parent:
+            parent[first] = first
+        for v in it:
+            if v not in parent:
+                parent[v] = v
+            union(first, v)
+
+    con_vars = [c.variables() for c in system.constraints]
+    bus_vars = [set().union(*(e.variables() for e in b.exprs())) for b in system.bus_interactions]
+    for vs in con_vars:
+        if vs:
+            link(vs)
+    for vs in bus_vars:
+        if vs:
+            link(vs)
+
+    groups: Dict[int, ConstraintSystemGE] = {}
+
+    def group_of(root: int) -> ConstraintSystemGE:
+        if root not in groups:
+            groups[root] = ConstraintSystemGE()
+        return groups[root]
+
+    out_loose: List[ConstraintSystemGE] = []
+    for c, vs in zip(system.constraints, con_vars):
+        if vs:
+            group_of(find(next(iter(vs)))).constraints.append(c)
+        # else: constant constraint — redundant residue, dropped
+    for b, vs in zip(system.bus_interactions, bus_vars):
+        if vs:
+            group_of(find(next(iter(vs)))).bus_interactions.append(b)
+        else:
+            out_loose.append(ConstraintSystemGE(bus_interactions=[b]))
+    return list(groups.values()) + out_loose

@@ -124,3 +124,37 @@ def test_linearizer_shared_products():
 
     assert all(v < AUX_BASE for v in res.assignments)
     assert all(v < AUX_BASE for v in res.ranges)
+
+
+def test_split_system():
+    """Independent components separate; shared variables (including via
+    bus interactions) keep constraints together; constant residue drops
+    (system_splitter.rs:16-59)."""
+    from powdr_tpu.solver.constraint_system import (
+        BusInteractionGE,
+        ConstraintSystemGE,
+        split_system,
+    )
+
+    sys = ConstraintSystemGE(
+        constraints=[
+            var(0) + var(1) - const(3),  # comp A
+            var(2) * var(2) - var(2),  # comp B
+            const(0),  # redundant, dropped
+        ],
+        bus_interactions=[
+            # ties comp A to variable 4
+            BusInteractionGE(id=7, mult=var(4), args=[var(1)]),
+            # variable-free interaction: its own subsystem
+            BusInteractionGE(id=8, mult=const(1), args=[const(5)]),
+        ],
+    )
+    parts = split_system(sys)
+    assert len(parts) == 3
+    by_vars = {frozenset(p.variables()): p for p in parts}
+    a = by_vars[frozenset({0, 1, 4})]
+    assert len(a.constraints) == 1 and len(a.bus_interactions) == 1
+    b = by_vars[frozenset({2})]
+    assert len(b.constraints) == 1 and not b.bus_interactions
+    loose = by_vars[frozenset()]
+    assert not loose.constraints and loose.bus_interactions[0].id == 8
