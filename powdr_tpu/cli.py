@@ -86,7 +86,14 @@ def stage_execute(args, cache: ArtifactCache):
     from .vm.executor import Executor
 
     program, mem, check = _guest(args.guest)
-    key = cache.key("execute", guest=args.guest, program=_program_hash(program))
+    # small_tables changes DT_BITS and hence the executor's segmenting and
+    # range-check shapes: a cached full-size execution must not be reused
+    key = cache.key(
+        "execute",
+        guest=args.guest,
+        program=_program_hash(program),
+        small_tables=args.small_tables,
+    )
     result = cache.load("execute", key)
     if result is None or args.no_cache:
         t0 = time.time()
@@ -178,6 +185,17 @@ def stage_prove(args, program, result, apcs):
     print(f"prove stage: {time.time()-t0:.2f}s")
 
 
+def _enable_jax_cache():
+    """Persistent XLA compile cache: on the tunneled TPU a cold full-VM
+    proof spends ~20 min in remote compiles; cached reruns skip all of it."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="powdr_tpu", description=__doc__)
     ap.add_argument("command", choices=["execute", "select-apcs", "prove"])
@@ -203,6 +221,7 @@ def main(argv=None):
         help="shrink periphery tables (CI-sized proving; see vm.isa)",
     )
     args = ap.parse_args(argv)
+    _enable_jax_cache()
 
     if args.small_tables:
         from .vm import isa, machines, system

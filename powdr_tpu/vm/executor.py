@@ -96,6 +96,14 @@ class Executor:
     def run(
         self, max_steps: int = 1 << 20, segment_steps: Optional[int] = None
     ) -> ExecutionResult:
+        if segment_steps is None:
+            # default to the ISA's epoch cap (read at call time so CLI
+            # --small-tables DT_BITS shrinkage takes effect): otherwise a
+            # memory-cell revisit after > 2^DT_BITS ticks overflows the
+            # timestamp-gap range check
+            from . import isa as _isa
+
+            segment_steps = (1 << _isa.DT_BITS) // TS_DELTA
         records: Dict[str, List[dict]] = {}
         pc_trace: List[int] = []
         pc, ts = self.start_pc, 1
