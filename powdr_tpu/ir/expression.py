@@ -154,11 +154,14 @@ class IsTransition(Expr):
 
 
 class _Bin(Expr):
-    __slots__ = ("lhs", "rhs")
+    # _deg caches degree(): constraint DAGs with heavy sharing (e.g. the
+    # Poseidon2 AIR's linear layers) make uncached recursion exponential
+    __slots__ = ("lhs", "rhs", "_deg")
 
     def __init__(self, lhs: Expr, rhs: Expr):
         self.lhs = lhs
         self.rhs = rhs
+        self._deg = None
 
     def children(self):
         return (self.lhs, self.rhs)
@@ -166,27 +169,36 @@ class _Bin(Expr):
 
 class Add(_Bin):
     def degree(self):
-        return max(self.lhs.degree(), self.rhs.degree())
+        if self._deg is None:
+            self._deg = max(self.lhs.degree(), self.rhs.degree())
+        return self._deg
 
 
 class Sub(_Bin):
     def degree(self):
-        return max(self.lhs.degree(), self.rhs.degree())
+        if self._deg is None:
+            self._deg = max(self.lhs.degree(), self.rhs.degree())
+        return self._deg
 
 
 class Mul(_Bin):
     def degree(self):
-        return self.lhs.degree() + self.rhs.degree()
+        if self._deg is None:
+            self._deg = self.lhs.degree() + self.rhs.degree()
+        return self._deg
 
 
 class Neg(Expr):
-    __slots__ = ("operand",)
+    __slots__ = ("operand", "_deg")
 
     def __init__(self, operand: Expr):
         self.operand = operand
+        self._deg = None
 
     def degree(self):
-        return self.operand.degree()
+        if self._deg is None:
+            self._deg = self.operand.degree()
+        return self._deg
 
     def children(self):
         return (self.operand,)
@@ -266,31 +278,29 @@ def evaluate(expr: Expr, alg: Algebra, cache: Optional[Dict[int, Any]] = None) -
 _P = 2013265921
 
 
+def walk_nodes(exprs: Sequence[Expr]):
+    """Iterate each DAG node exactly once (id-deduplicated, iterative)."""
+    seen = set()
+    stack = list(exprs)
+    while stack:
+        e = stack.pop()
+        if id(e) in seen:
+            continue
+        seen.add(id(e))
+        yield e
+        stack.extend(e.children())
+
+
 def max_col_index(exprs: Sequence[Expr]) -> int:
     best = -1
-
-    def walk(e: Expr):
-        nonlocal best
+    for e in walk_nodes(exprs):
         if isinstance(e, Col):
             best = max(best, e.index)
-        for c in e.children():
-            walk(c)
-
-    for e in exprs:
-        walk(e)
     return best
 
 
 def uses_next_row(exprs: Sequence[Expr]) -> bool:
-    found = False
-
-    def walk(e: Expr):
-        nonlocal found
+    for e in walk_nodes(exprs):
         if isinstance(e, (Col, PermCol, PreCol)) and e.rot != 0:
-            found = True
-        for c in e.children():
-            walk(c)
-
-    for e in exprs:
-        walk(e)
-    return found
+            return True
+    return False
