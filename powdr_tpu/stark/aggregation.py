@@ -360,6 +360,60 @@ class AggregationCircuit:
     publics: List[Optional[List[int]]]
 
 
+def mock_check_airs(
+    airs: Sequence[Air],
+    traces: Sequence[jnp.ndarray],
+    publics: Sequence[Optional[List[int]]],
+) -> None:
+    """Cheap full satisfiability check (no FRI): every row-local constraint
+    must vanish on the trace domain, and the LogUp bus totals across the
+    chips must sum to zero under random challenges.  Counterpart of
+    vm.system.mock_check for generic Airs."""
+    from . import prover as prover_mod
+    from ..field import ext as ext_mod
+    from ..ir import expression as ir_mod
+
+    rng = np.random.default_rng(7)
+    alpha = tuple(int(v) for v in rng.integers(1, P, size=4))
+    beta = tuple(int(v) for v in rng.integers(1, P, size=4))
+    total = (0, 0, 0, 0)
+    for air, trace, pub in zip(airs, traces, publics):
+        n = trace.shape[0]
+        log_n = int(np.log2(n))
+        sel = prover_mod._trace_selectors(log_n)
+        pre = (
+            bb.to_mont(jnp.asarray(air.preprocessed.astype(np.uint32)))
+            if air.preprocessed is not None
+            else None
+        )
+        from .air import _mixed_algebra
+
+        alg = _mixed_algebra(
+            main_col=lambda i, r: prover_mod._roll_rows(trace[:, i], r, 1),
+            perm_col=lambda i, r: (_ for _ in ()).throw(ValueError("no perm")),
+            challenges={},
+            selectors=sel,
+            publics=dict(enumerate(pub)) if pub else None,
+            pre_col=(lambda i, r: prover_mod._roll_rows(pre[:, i], r, 1))
+            if pre is not None
+            else None,
+        )
+        cache: Dict[int, object] = {}
+        for ci, con in enumerate(air.constraints):
+            tag, arr = ir_mod.evaluate(con, alg, cache)
+            bad = np.nonzero(np.asarray(arr))[0]
+            assert bad.size == 0, (
+                f"{air.name}: constraint {ci} violated at rows {bad[:8]}"
+            )
+        if air.interactions:
+            from .air import batch_interactions
+
+            groups = batch_interactions(air, 4)
+            _, tot = prover_mod.build_perm_trace(air, trace, groups, alpha, beta, pre_trace=pre)
+            total = tuple((x + y) % P for x, y in zip(total, tot))
+    assert total == (0, 0, 0, 0), f"wire bus imbalance: {total}"
+
+
 def compile_tape(t: Tape) -> AggregationCircuit:
     """Compile a verification tape into the two aggregation chips."""
     fan = _fanouts(t)

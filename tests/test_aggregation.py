@@ -1,0 +1,137 @@
+"""Aggregation-circuit tests: the STARK verifier runs in-circuit.
+
+Quick tier: a real proof's verification is recorded on the tape, compiled
+into the ExtALU + Poseidon2 chips, and checked for full constraint/bus
+satisfiability; tampering (with the inner proof, with circuit witness
+values, with a select bit) must be rejected.  Slow tier: the aggregated
+proof of two inner proofs is itself STARK-proven and verified, with
+publics binding the inner commitment roots (VERDICT round-1 item 8)."""
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from powdr_tpu.field import babybear as bb
+from powdr_tpu.ir import expression as ir
+from powdr_tpu.stark import prover, verifier
+from powdr_tpu.stark.air import Air
+from powdr_tpu.stark.challenger import Challenger
+from powdr_tpu.stark.config import StarkConfig
+from powdr_tpu.stark.tape import Tape, poseidon2_canonical
+from powdr_tpu.stark.aggregation import compile_tape, mock_check_airs
+from powdr_tpu.stark.circuit_verifier import verify_on_tape, aggregate
+
+CFG = StarkConfig(log_blowup=2, num_queries=2, proof_of_work_bits=1)
+
+
+def _fib(n=32, shift=1):
+    c0, c1 = ir.Col(0), ir.Col(1)
+    cons = [
+        ir.Mul(ir.IsTransition(), ir.Sub(ir.Col(1, rot=1), ir.Add(c0, c1))),
+        ir.Mul(ir.IsTransition(), ir.Sub(ir.Col(0, rot=1), c1)),
+        ir.Mul(ir.IsFirstRow(), ir.Sub(c0, ir.Const(shift))),
+        ir.Mul(ir.IsFirstRow(), ir.Sub(c1, ir.Const(shift))),
+    ]
+    a, b, rows = shift, shift, []
+    for _ in range(n):
+        rows.append((a, b))
+        a, b = b, (a + b) % bb.P
+    trace = bb.to_mont(jnp.asarray(np.asarray(rows, dtype=np.uint32)))
+    return Air(width=2, constraints=cons, name="fib"), trace
+
+
+@pytest.fixture(scope="module")
+def inner():
+    air, trace = _fib()
+    proof = prover.prove([(air, trace)], CFG, Challenger())
+    return air, proof
+
+
+@pytest.fixture(scope="module")
+def circuit(inner):
+    air, proof = inner
+    t = Tape()
+    verify_on_tape(t, [air], proof, CFG)
+    return compile_tape(t), t
+
+
+def test_tape_poseidon_matches_device_permutation(rng):
+    state = [int(v) for v in rng.integers(0, bb.P, size=16, dtype=np.uint64)]
+    got = poseidon2_canonical(state)
+    from powdr_tpu.hash import poseidon2 as p2
+
+    arr = bb.to_mont(jnp.asarray(np.asarray(state, dtype=np.uint32)[None, :]))
+    expect = [int(v) for v in np.asarray(bb.from_mont(p2.permute(arr)))[0]]
+    assert got == expect
+
+
+def test_circuit_satisfiable(circuit):
+    circ, tape = circuit
+    stats = tape.stats()
+    assert stats["perm_rows"] > 100 and stats["alu_rows"] > 1000
+    mock_check_airs(circ.airs, circ.traces, circ.publics)
+
+
+def test_circuit_structure_is_degree_bounded(circuit):
+    circ, _ = circuit
+    for air in circ.airs:
+        assert air.max_constraint_degree() <= CFG.max_constraint_degree
+        for t in air.interactions:
+            assert t.fingerprint_degree() <= 1
+
+
+def test_publics_bind_inner_root(inner, circuit):
+    air, proof = inner
+    circ, _ = circuit
+    root = [int(v) for v in bb.np_from_mont(np.asarray(proof.chips[0].main_root, np.uint32))]
+    assert circ.publics[0][:8] == root
+
+
+def test_tampered_inner_proof_rejected(inner):
+    import copy
+
+    air, proof = inner
+    bad = copy.deepcopy(proof)
+    bad.pcs.fri.final_poly = (bad.pcs.fri.final_poly + 1) % bb.P
+    with pytest.raises(AssertionError):
+        verify_on_tape(Tape(), [air], bad, CFG)
+
+
+def test_tampered_witness_value_rejected(circuit):
+    circ, _ = circuit
+    # flip one ALU output component on a live row
+    traces = [np.array(bb.from_mont(t)) for t in circ.traces]
+    pre = circ.airs[0].preprocessed
+    row = int(np.nonzero(pre[:, 4])[0][0])  # first MUL row (sel index MUL=4)
+    traces[0][row, 12] = (traces[0][row, 12] + 1) % bb.P
+    mont = [bb.to_mont(jnp.asarray(t)) for t in traces]
+    with pytest.raises(AssertionError):
+        mock_check_airs(circ.airs, mont, circ.publics)
+
+
+def test_tampered_select_bit_rejected(circuit):
+    circ, _ = circuit
+    traces = [np.array(bb.from_mont(t)) for t in circ.traces]
+    pre = circ.airs[0].preprocessed
+    from powdr_tpu.stark.aggregation import SEL0, BIT
+
+    row = int(np.nonzero(pre[:, SEL0 + BIT])[0][0])
+    traces[0][row, 12] = 1 - traces[0][row, 12]  # flip the bit output
+    mont = [bb.to_mont(jnp.asarray(t)) for t in traces]
+    with pytest.raises(AssertionError):
+        mock_check_airs(circ.airs, mont, circ.publics)
+
+
+@pytest.mark.slow
+def test_aggregated_proof_end_to_end():
+    air1, tr1 = _fib(32, shift=1)
+    air2, tr2 = _fib(32, shift=2)
+    p1 = prover.prove([(air1, tr1)], CFG, Challenger())
+    p2 = prover.prove([(air2, tr2)], CFG, Challenger())
+    circ, tape = aggregate([([air1], p1), ([air2], p2)], CFG)
+    agg = prover.prove(
+        list(zip(circ.airs, circ.traces)), CFG, Challenger(), publics=circ.publics
+    )
+    verifier.verify(circ.airs, agg, CFG, Challenger())
+    r1 = [int(v) for v in bb.np_from_mont(np.asarray(p1.chips[0].main_root, np.uint32))]
+    r2 = [int(v) for v in bb.np_from_mont(np.asarray(p2.chips[0].main_root, np.uint32))]
+    assert agg.publics[0] == r1 + r2
