@@ -20,6 +20,12 @@ from .machines import registry
 
 MASK32 = 0xFFFFFFFF
 
+# hints extension (k256 field intrinsics; reference extensions/hints-*)
+K256_P = 2**256 - 2**32 - 977
+R256 = (1 << 256) % K256_P
+R256_SQ = R256 * R256 % K256_P
+R256_INV = pow(R256, K256_P - 2, K256_P)
+
 
 @dataclass
 class ExecutionResult:
@@ -63,6 +69,7 @@ class Executor:
         self.touched_initial: Dict[Tuple[int, int], int] = {}
         self._cur_epoch, self._epoch_ticks = 0, 0
         self._created_epoch: Dict[Tuple[int, int], int] = {}
+        self.hint_queue: List[int] = []
 
     def _cell(self, space: int, ptr: int) -> Tuple[int, int]:
         key = (space, ptr)
@@ -336,6 +343,37 @@ class Executor:
                 rec["rs1_val"] = a
                 rec["rd_prev"] = wr_reg(ins.rd, pc + 4)
                 next_pc = (a + imm) & MASK32
+            elif op == "revb":
+                a = rd_reg(ins.rs1)
+                rec["rs1_val"] = a
+                z = int.from_bytes(a.to_bytes(4, "little"), "big")
+                rec["rd_prev"] = wr_reg(ins.rd, z)
+            elif op in ("hintinv", "hintsqrt"):
+                # phantom (hints extension): host-side read of 8 RAM words at
+                # the pointer in rs1; result limbs go to the hint queue.  No
+                # circuit memory access — the value is unconstrained until
+                # the guest verifies it (reference: hints-circuit phantom
+                # executors, /root/reference/openvm-riscv/extensions/).
+                _, ptr = self._cell(1, ins.rs1)
+                x = 0
+                for i in range(8):
+                    _, w = self._cell(2, (ptr + 4 * i) & MASK32)
+                    x |= w << (32 * i)
+                if op == "hintinv":
+                    # Montgomery-aware: v = x^-1 * R^2, so mont(a) maps to
+                    # mont(a^-1) (guest field core is Montgomery, R = 2^256)
+                    v = pow(x % K256_P, K256_P - 2, K256_P) * R256_SQ % K256_P if x % K256_P else 0
+                else:
+                    raw = x * R256_INV % K256_P  # a = mont(raw)
+                    s = pow(raw, (K256_P + 1) // 4, K256_P)
+                    v = s * R256 % K256_P  # mont(sqrt)
+                for i in range(8):
+                    self.hint_queue.append((v >> (32 * i)) & MASK32)
+            elif op == "hintpop":
+                assert self.hint_queue, "hintpop on empty hint queue"
+                v = self.hint_queue.pop(0)
+                rec["rd_val"] = v
+                rec["rd_prev"] = wr_reg(ins.rd, v)
             else:
                 raise ValueError(f"unknown opcode {op}")
             records.setdefault(op, []).append(rec)

@@ -652,3 +652,78 @@ def pairing_guest(iters: int = 64, seed: int = 11):
         assert (got0, got1) == expect, ((hex(got0), hex(got1)), expect)
 
     return assemble(a.lines), mem, check
+
+
+# -- hints-extension test guest ------------------------------------------------
+# Counterpart of /root/reference/openvm-riscv/guest-hints-test: exercises the
+# custom hints instructions (revb + k256 field inverse/sqrt phantoms) and
+# verifies every hint IN-GUEST — hint values are unconstrained witness, so
+# the guest's field-mul checks are what makes them sound.
+
+_HT = 0x2000
+HT_X, HT_INV, HT_SQ, HT_ROOT = _HT, _HT + 0x20, _HT + 0x40, _HT + 0x60
+HT_T, HT_FLAG = _HT + 0x80, _HT + 0xA0
+
+
+def hints_test_guest(seed: int = 3):
+    import random
+
+    from . import asmlib as al
+    from .asmlib import DESC_P, STACK_TOP, Asm, fe_mul
+    from .executor import K256_P
+
+    rnd = random.Random(seed)
+    x = rnd.randrange(2, K256_P)
+    y = rnd.randrange(2, K256_P)
+    sq = y * y % K256_P
+
+    mem = {}
+    mem.update(al.desc_mem(DESC_P, K256_P))
+    mem.update(al.fe_mem(HT_X, al.to_mont(x, K256_P)))
+    mem.update(al.fe_mem(HT_SQ, al.to_mont(sq, K256_P)))
+
+    a = Asm()
+    a.li(2, STACK_TOP)
+    a.li(19, DESC_P)
+    # revb: rd = byte-reversed rs1 (deterministic, constrained)
+    a.li(5, 0x01020304)
+    a.l("revb", 6, 5)
+    a.li(7, 0x04030201)
+    a.l("bne", 0, 6, 7, "fail")
+    # k256 inverse hint on mont(x); verify x * x^-1 == 1 via mont-mul
+    a.li(5, HT_X)
+    a.l("hintinv", 0, 5)
+    for i in range(8):
+        a.l("hintpop", 6)
+        a.l("sw", 0, 0, 6, HT_INV + 4 * i)
+    fe_mul(a, HT_T, HT_X, HT_INV)
+    for i in range(8):
+        a.l("lw", 5, 0, 0, HT_T + 4 * i)
+        a.l("lw", 6, 19, 0, 64 + 4 * i)  # mont(1) from the descriptor
+        a.l("bne", 0, 5, 6, "fail")
+    # k256 sqrt hint on mont(y^2); verify root^2 == y^2
+    a.li(5, HT_SQ)
+    a.l("hintsqrt", 0, 5)
+    for i in range(8):
+        a.l("hintpop", 6)
+        a.l("sw", 0, 0, 6, HT_ROOT + 4 * i)
+    fe_mul(a, HT_T, HT_ROOT, HT_ROOT)
+    for i in range(8):
+        a.l("lw", 5, 0, 0, HT_T + 4 * i)
+        a.l("lw", 6, 0, 0, HT_SQ + 4 * i)
+        a.l("bne", 0, 5, 6, "fail")
+    a.store_imm(HT_FLAG, 1)
+    a.l("halt",)
+    a.label("fail")
+    a.store_imm(HT_FLAG, 2)
+    a.l("halt",)
+    al.emit_field_lib(a)
+
+    def check(result):
+        assert result.final_mem[(2, HT_FLAG)][1] == 1, "in-guest hint check failed"
+        inv = al.from_limbs([result.final_mem[(2, HT_INV + 4 * i)][1] for i in range(8)])
+        assert al.from_mont(inv, K256_P) == pow(x, K256_P - 2, K256_P)
+        root = al.from_limbs([result.final_mem[(2, HT_ROOT + 4 * i)][1] for i in range(8)])
+        assert al.from_mont(root, K256_P) ** 2 % K256_P == sq
+
+    return assemble(a.lines), mem, check

@@ -74,6 +74,18 @@ OPCODES = [
     "mulh", "mulhu", "mulhsu",
     "lb", "lbu", "lh", "lhu", "sb", "sh",
     "auipc",
+    # hints extension (reference: openvm-riscv/extensions/hints-*, custom-2
+    # opcode 0x5b — ReverseBytes + K256 field inverse/sqrt intrinsics whose
+    # results are phantom: the executor supplies them, the guest verifies):
+    #   revb rd, rs1          rd = byte-reversed rs1 (fully constrained)
+    #   hintinv rs1           push k256-field inverse of [RAM rs1..rs1+32)
+    #                         onto the hint queue (8 limbs, Montgomery-aware:
+    #                         v = in^-1 * R^2 mod p so mont inputs give mont
+    #                         inverses; executor.py::K256_P)
+    #   hintsqrt rs1          push k256-field sqrt likewise
+    #   hintpop rd            rd = next hint-queue word (unconstrained value;
+    #                         byte-range-checked only — guest must verify)
+    "revb", "hintinv", "hintsqrt", "hintpop",
 ]
 OPCODE_ID = {name: i for i, name in enumerate(OPCODES)}
 

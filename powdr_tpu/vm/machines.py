@@ -1290,6 +1290,56 @@ def _halt_wg(rec):
     return _wg_base(rec)
 
 
+# -- hints extension (reference: openvm-riscv/extensions/hints-*) --------------
+
+
+def _revb_build():
+    """rd = byte-reversed rs1 — fully constrained (the write's data args
+    are the read's byte columns in reverse order)."""
+    b, ctx = _base("revb")
+    a = ctx.read(1, ctx.rs1, "rs1")
+    ctx.write(1, ctx.rd, [a[3], a[2], a[1], a[0]], "rd")
+    ctx.finish()
+    return b
+
+
+def _revb_wg(rec):
+    cols = _wg_base(rec)
+    t0 = rec["ts"]
+    _wg_access(cols, "rs1", _bytes(rec["rs1_val"]), rec["prev_ts"][0], t0)
+    _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][1], t0 + 1)
+    return cols
+
+
+def _hint_phantom_build(op: str):
+    """hintinv/hintsqrt: pure phantom — the executor computes the field
+    hint host-side and queues it; the circuit only sequences pc/ts.  The
+    value stays unconstrained until the guest verifies it (mirrors the
+    reference's PhantomSubExecutor circuit shape, hints-circuit/src/lib.rs)."""
+    b, ctx = _base(op)
+    ctx.finish()
+    return b
+
+
+def _hintpop_build():
+    """rd = next hint-queue word: free witness bytes (range-checked only)."""
+    b, ctx = _base("hintpop")
+    v = b.cols4("hint")
+    _byte_range_pair(b, ctx.g, v[0], v[1])
+    _byte_range_pair(b, ctx.g, v[2], v[3])
+    ctx.write(1, ctx.rd, v, "rd")
+    ctx.finish()
+    return b
+
+
+def _hintpop_wg(rec):
+    cols = _wg_base(rec)
+    for i, x in enumerate(_bytes(rec["rd_val"])):
+        cols[f"hint__{i}"] = x
+    _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][0], rec["ts"])
+    return cols
+
+
 # -- registry -----------------------------------------------------------------
 
 
@@ -1323,6 +1373,10 @@ def _build_all():
     out["jal"] = (_jal_build(), _jal_wg)
     out["jalr"] = (_jalr_build(), _jalr_wg)
     out["halt"] = (_halt_build(), _halt_wg)
+    out["revb"] = (_revb_build(), _revb_wg)
+    for op in ("hintinv", "hintsqrt"):
+        out[op] = (_hint_phantom_build(op), _wg_base)
+    out["hintpop"] = (_hintpop_build(), _hintpop_wg)
     return out
 
 

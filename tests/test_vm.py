@@ -444,3 +444,42 @@ def test_guest_ecrecover():
     res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS, max_steps=1 << 24)
     check(res)
     mock_check(build_chips(prog, res))
+
+
+def test_hints_extension():
+    """Hints extension (reference extensions/hints-*): revb + k256 field
+    inverse/sqrt phantom hints, verified in-guest (the hint values are
+    unconstrained witness); full trace mock-checks."""
+    from powdr_tpu.vm.executor import Executor
+    from powdr_tpu.vm.guests import hints_test_guest
+
+    prog, mem, check = hints_test_guest()
+    res = Executor(prog, mem).run()
+    check(res)
+    assert res.records["hintpop"] and res.records["revb"]
+    mock_check(build_chips(prog, res))
+
+
+def test_hints_wrong_hint_fails_in_guest():
+    """A corrupted hint value must be caught by the guest's own field-mul
+    verification (the circuit leaves hint words free by design)."""
+    from powdr_tpu.vm.executor import Executor
+    from powdr_tpu.vm.guests import hints_test_guest
+    from powdr_tpu.vm.guests import HT_FLAG
+
+    prog, mem, check = hints_test_guest()
+
+    class Tampered(Executor):
+        def run(self, *a, **kw):
+            orig_pop = list.pop
+
+            class Q(list):
+                def pop(self, idx=0):
+                    v = orig_pop(self, idx)
+                    return (v + 1) & 0xFFFFFFFF if len(self) == 7 else v
+
+            self.hint_queue = Q()
+            return super().run(*a, **kw)
+
+    res = Tampered(prog, mem).run()
+    assert res.final_mem[(2, HT_FLAG)][1] == 2, "guest must take the fail path"
