@@ -131,6 +131,12 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
             )
         print(f"selected {len(apcs)} APCs in {time.time()-t0:.2f}s")
         cache.store("select-apcs", key, apcs)
+        if args.apc_stats_json:
+            from .utils.report_html import apc_stats_from
+
+            with open(args.apc_stats_json, "w") as f:
+                json.dump(apc_stats_from(cands[: args.apcs]), f, indent=1)
+            print(f"apc stats written to {args.apc_stats_json}")
         if args.apc_export_dir:
             from .vm.apc import export_apc
 
@@ -207,6 +213,8 @@ def main(argv=None):
     ap.add_argument("--artifacts-dir", default=".powdr_artifacts")
     ap.add_argument("--metrics-json", default=None)
     ap.add_argument("--no-cache", action="store_true")
+    ap.add_argument("--apc-stats-json", default=None,
+                    help="write APC effectiveness stats (report_html input)")
     ap.add_argument("--apc-export-dir", default=None,
                     help="export selected APCs as ApcWithBusMap JSON "
                          "(the reference analyzer's format)")

@@ -1,0 +1,92 @@
+"""Analysis tooling tests: nightly-regression analyzer + HTML viewers
+(reference counterparts: scripts/analyze_nightly.py and the two web SPAs,
+SURVEY.md §2 #42/#43)."""
+import json
+import re
+
+from powdr_tpu.utils.analyze import compare, format_table, load_run
+from powdr_tpu.utils.report_html import apc_stats_from, build_report
+
+
+def _runs(tmp_path, name, total):
+    d = tmp_path / name
+    d.mkdir()
+    (d / "sha256.json").write_text(
+        json.dumps(
+            {
+                "counter": {"total_proof_time_ms": total, "verify_time_ms": 900.0},
+                "gauge": {"instret": 1000},
+            }
+        )
+    )
+    return str(d)
+
+
+def test_analyze_flags_regression(tmp_path):
+    cur = load_run(_runs(tmp_path, "cur", 15000.0))
+    base = load_run(_runs(tmp_path, "base", 10000.0))
+    res = compare(cur, base, threshold=0.1)
+    assert len(res["regressions"]) == 1
+    assert "total_proof_time_ms" in res["regressions"][0]
+    assert "REGRESSION" in format_table(res)
+
+
+def test_analyze_within_threshold_clean(tmp_path):
+    cur = load_run(_runs(tmp_path, "cur", 10400.0))
+    base = load_run(_runs(tmp_path, "base", 10000.0))
+    res = compare(cur, base, threshold=0.1)
+    assert res["regressions"] == []
+
+
+def test_report_html_self_contained():
+    metrics = {"keccak": {"total_proof_time_ms": 1234.5, "instret": 99}}
+    apcs = [
+        {
+            "name": "apc_x",
+            "execution_count": 5,
+            "before_cols": 100,
+            "after_cols": 30,
+            "before_interactions": 60,
+            "after_interactions": 20,
+            "cells_saved": 4200,
+        }
+    ]
+    page = build_report(metrics, apcs, title="t")
+    # embedded data round-trips and the page carries its own JS/CSS
+    m = re.search(r"const DATA = (.*?);\n", page, re.S)
+    data = json.loads(m.group(1))
+    assert data["metrics"]["keccak"]["total_proof_time_ms"] == 1234.5
+    assert data["apcs"][0]["name"] == "apc_x"
+    js = page[page.index("<script>") : page.index("</script>")]
+    assert js.count("{") == js.count("}") and js.count("(") == js.count(")")
+    for frag in ("barChart", "prefers-color-scheme", "sortT", "showTip", "legend"):
+        assert frag in page, frag
+    assert "http://" not in page and "https://" not in page  # no external assets
+
+
+def test_apc_stats_from_candidates():
+    class R:
+        before = {"columns": 10, "bus_interactions": 6}
+        after = {"columns": 4, "bus_interactions": 2}
+
+    class A:
+        name = "apc_1"
+        report = R()
+
+    class C:
+        apc = A()
+        execution_count = 7
+        cells_saved = 99
+
+    rows = apc_stats_from([C()])
+    assert rows == [
+        {
+            "name": "apc_1",
+            "execution_count": 7,
+            "before_cols": 10,
+            "after_cols": 4,
+            "before_interactions": 6,
+            "after_interactions": 2,
+            "cells_saved": 99,
+        }
+    ]
