@@ -2,12 +2,14 @@
 crate provides (/root/reference/number/src/lib.rs:20-29 — BabyBear,
 KoalaBear, Goldilocks, Mersenne31, BN254).
 
-The device plane (Pallas/XLA kernels, NTT, hashing) is BabyBear-only —
-that is the field powdr's OpenVM path pins (BabyBearPoseidon2Config) and
-the only one with a proving-path need.  These classes provide the host
-arithmetic/metadata surface (two-adicity, generators, (de)serialization)
-so frontends and tooling can be field-generic; device kernels for further
-fields are additive work (same Montgomery-limb recipes)."""
+The proving pipeline pins BabyBear (the field powdr's OpenVM path uses,
+BabyBearPoseidon2Config) with its tuned kernels in field/babybear.py.
+Device kernels for the other fields live next door: field/u32mont.py
+(KoalaBear, Mersenne31 — parametric u32 Montgomery + radix-2 NTT) and
+field/goldilocks.py (u32 limb pairs with the 2^64 ≡ 2^32 - 1 reduction +
+NTT).  This module is the host arithmetic/metadata surface (two-adicity,
+generators, (de)serialization) shared by all of them; BN254 stays
+host-only (no proving-path need — it is powdr's wrapping field)."""
 from __future__ import annotations
 
 from dataclasses import dataclass
