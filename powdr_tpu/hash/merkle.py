@@ -115,6 +115,8 @@ def verify_path(
     idx = index
     for sib in path:
         s = jnp.asarray(sib).reshape(1, p2.DIGEST)
-        cur = p2.compress(s, cur) if idx & 1 else p2.compress(cur, s)
+        # host-pinned compress: verification is a few hundred tiny hashes,
+        # and each device call through a tunneled chip is a full round trip
+        cur = p2.compress_host(s, cur) if idx & 1 else p2.compress_host(cur, s)
         idx >>= 1
     return bool((np.asarray(cur[0]) == np.asarray(root)).all())

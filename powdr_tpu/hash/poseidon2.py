@@ -186,6 +186,39 @@ def permute_host(state: jnp.ndarray) -> jnp.ndarray:
     return _cpu_permute()(state)
 
 
+@functools.lru_cache(maxsize=None)
+def _cpu_hash_rows():
+    """Verifier-side hash_rows pinned to host CPU: a proof check touches a
+    few hundred tiny rows, and each device call through a tunneled chip
+    costs a ~0.4s round trip."""
+    import jax as _jax
+
+    try:
+        cpu = _jax.devices("cpu")[0]
+        return _jax.jit(hash_rows.__wrapped__, device=cpu)
+    except RuntimeError:
+        return hash_rows
+
+
+def hash_rows_host(matrix: jnp.ndarray) -> jnp.ndarray:
+    return _cpu_hash_rows()(matrix)
+
+
+@functools.lru_cache(maxsize=None)
+def _cpu_compress():
+    import jax as _jax
+
+    try:
+        cpu = _jax.devices("cpu")[0]
+        return _jax.jit(compress.__wrapped__, device=cpu)
+    except RuntimeError:
+        return compress
+
+
+def compress_host(left: jnp.ndarray, right: jnp.ndarray) -> jnp.ndarray:
+    return _cpu_compress()(left, right)
+
+
 @jax.jit
 def hash_rows(matrix: jnp.ndarray) -> jnp.ndarray:
     """Sponge-hash each row of (n, w) -> digests (n, 8).

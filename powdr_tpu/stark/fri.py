@@ -273,7 +273,7 @@ def verify(
             i = idx % h
             # check merkle path
             leaf_row = bb.np_to_mont(layer.pair.reshape(-1))
-            digest = np.asarray(p2.hash_rows(jnp.asarray(leaf_row[None, :])))[0]
+            digest = np.asarray(p2.hash_rows_host(jnp.asarray(leaf_row[None, :])))[0]
             assert merkle.verify_path(
                 root, i, digest, layer.path, expected_depth=cur_log - 1
             ), f"bad path layer {l}"

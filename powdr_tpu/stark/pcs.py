@@ -377,8 +377,8 @@ def verify_openings(
             for m_idx, (mq, root) in enumerate(zip(pq.per_matrix, roots)):
                 half = (1 << log_Ns[m_idx]) // 2
                 i_m = q % half
-                d_lo = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
-                d_hi = np.asarray(p2.hash_rows(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
+                d_lo = np.asarray(p2.hash_rows_host(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
+                d_hi = np.asarray(p2.hash_rows_host(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
                 depth = log_Ns[m_idx]
                 assert merkle.verify_path(
                     root, i_m, d_lo, mq.path_lo, expected_depth=depth

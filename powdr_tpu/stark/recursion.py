@@ -104,7 +104,7 @@ def profile_verify(
     ch = CountingChallenger()
 
     real_verify_path = merkle.verify_path
-    real_hash_rows = p2.hash_rows
+    real_hash_rows = p2.hash_rows_host
     real_py_mul = ext.py_mul
     real_py_inv = ext.py_inv
     real_add = pcs_mod.py_ext_add
@@ -138,7 +138,7 @@ def profile_verify(
     # patch module attributes (and the names verifier/pcs bound at import)
     patches = [
         (merkle, "verify_path", verify_path),
-        (p2, "hash_rows", hash_rows),
+        (p2, "hash_rows_host", hash_rows),
         (ext, "py_mul", py_mul),
         (ext, "py_inv", py_inv),
         (pcs_mod, "py_ext_add", py_add),
