@@ -198,6 +198,23 @@ def _inv_x_minus_z(xs: jnp.ndarray, z_m: jnp.ndarray) -> jnp.ndarray:
     return ext.inv(diff)
 
 
+@jax.jit
+def _reduced_codeword(ldes, a_ms, y_ms, z_ms, xs):
+    """Whole per-size reduction in ONE dispatch: for every term t,
+    acc += (sum_j a_t[j]*lde_t[:,j] - y_t) / (x - z_t).  Tuple lengths are
+    static under jit; distinct structures trace separately (and land in
+    the persistent compile cache).  On a tunneled chip the eager per-term
+    loop cost 2-3 round trips per (matrix, point)."""
+    N = ldes[0].shape[0]
+    acc = ext.zero((N,))
+    inv_cache = {}
+    for lde, a_m, y_m, z_m in zip(ldes, a_ms, y_ms, z_ms):
+        folded = _fold_columns.__wrapped__(lde, a_m)
+        dinv = _inv_x_minus_z.__wrapped__(xs, z_m)  # same (xs, z): XLA CSEs
+        acc = _accumulate_term.__wrapped__(acc, folded, y_m, dinv)
+    return acc
+
+
 # -- opening proof ------------------------------------------------------------
 
 
@@ -236,44 +253,61 @@ def open_matrices(
     for m, lN in zip(mats, log_Ns):
         assert m.shift_pow == log_N_max - lN, "matrix committed with wrong shift"
 
-    # claimed evaluations -> transcript
-    values: List[List[np.ndarray]] = []
+    # claimed evaluations -> transcript.  One dispatch per matrix (points
+    # batched) and ONE fetch for everything: the tunneled device->host
+    # link pays per round trip.
+    pending = []
     for mat, zs in zip(mats, points):
-        vals = eval_at_points(mat, list(zs))
-        values.append(vals)
+        n = mat.n
+        log_n = int(np.log2(n))
+        n_inv = pow(n, bb.P - 2, bb.P)
+        scalars = []
+        for z in zs:
+            zn = py_ext_pow(z, n)
+            scalar = py_ext_sub(zn, (1, 0, 0, 0))
+            scalars.append(tuple(v * n_inv % bb.P for v in scalar))
+        z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
+        s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
+        pts = jnp.asarray(_subgroup_points(log_n))
+        pending.append(bb.from_mont(_eval_matrix_at_many(mat.evals, z_ms, s_ms, pts)))
+    fetched_vals = jax.device_get(pending)
+    values = [[np.asarray(v[i]) for i in range(v.shape[0])] for v in fetched_vals]
+    for vals in values:
         for v in vals:
             for row in v:
                 challenger.observe_ext(tuple(int(c) for c in row))
 
     alpha = challenger.sample_ext()
 
-    # reduced codewords per size
-    acc: Dict[int, jnp.ndarray] = {}
+    # reduced codewords per size — one fused dispatch per size group
+    groups: Dict[int, List] = {}
     k = 0
-    inv_cache: Dict[Tuple[ExtVal, int], jnp.ndarray] = {}
     for mat, zs, vals, log_N in zip(mats, points, values, log_Ns):
-        N = 1 << log_N
         shift = pow(config.coset_shift, 1 << mat.shift_pow, bb.P)
-        xs = jnp.asarray(_coset_points(log_N, shift))
         w = mat.width
         for z, y in zip(zs, vals):
             apows = np.array([py_ext_pow(alpha, k + j) for j in range(w)], dtype=np.uint32)
             k += w
             a_m = bb.to_mont(jnp.asarray(apows))  # (w, 4)
-            folded = _fold_columns(mat.lde, a_m)
             y_comb = (0, 0, 0, 0)
             for j in range(w):
                 y_comb = py_ext_add(
                     y_comb, ext.py_mul(tuple(int(c) for c in y[j]), tuple(int(c) for c in apows[j]))
                 )
-            key = (z, log_N)
-            if key not in inv_cache:
-                z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
-                inv_cache[key] = _inv_x_minus_z(xs, z_m)
             y_m = bb.to_mont(jnp.asarray(np.array(y_comb, dtype=np.uint32)))
-            acc[log_N] = _accumulate_term(
-                acc.get(log_N, ext.zero((N,))), folded, y_m, inv_cache[key]
-            )
+            z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
+            groups.setdefault(log_N, []).append((mat.lde, a_m, y_m, z_m, shift))
+    acc: Dict[int, jnp.ndarray] = {}
+    for log_N, terms in groups.items():
+        shift = terms[0][4]
+        xs = jnp.asarray(_coset_points(log_N, shift))
+        acc[log_N] = _reduced_codeword(
+            tuple(t[0] for t in terms),
+            tuple(t[1] for t in terms),
+            tuple(t[2] for t in terms),
+            tuple(t[3] for t in terms),
+            xs,
+        )
 
     fri_proof = fri_mod.prove(acc, config, challenger)
 

@@ -85,12 +85,15 @@ def build_perm_trace(
     alpha: ExtVal,
     beta: ExtVal,
     pre_trace: Optional[jnp.ndarray] = None,
+    defer_total: bool = False,
 ) -> Tuple[jnp.ndarray, ExtVal]:
     """Compute [h_0..h_{G-1}, s] as a (n, 4*(G+1)) base matrix plus the
     chip's cumulative LogUp total.
 
     One jitted dispatch per chip on accelerator backends (cached on the
-    Air), eager on CPU — same rationale as compute_quotient."""
+    Air), eager on CPU — same rationale as compute_quotient.  With
+    defer_total the total comes back as the (4,) Montgomery device array
+    (unfetched) so callers can batch the round's fetches."""
     alpha_arr = bb.to_mont(jnp.asarray(np.array(alpha, dtype=np.uint32)))
     beta_arr = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
     import jax as _jax
@@ -104,9 +107,12 @@ def build_perm_trace(
             )
             air._perm_jit = (key, fn)
         perm, s_last = air._perm_jit[1](trace, alpha_arr, beta_arr, pre_trace)
-        total = tuple(int(v) for v in np.asarray(bb.from_mont(s_last)))
-        return perm, total
-    perm, s_last = _perm_core(air, tuple(tuple(g) for g in groups), trace, alpha_arr, beta_arr, pre_trace)
+    else:
+        perm, s_last = _perm_core(
+            air, tuple(tuple(g) for g in groups), trace, alpha_arr, beta_arr, pre_trace
+        )
+    if defer_total:
+        return perm, s_last
     total = tuple(int(v) for v in np.asarray(bb.from_mont(s_last)))
     return perm, total
 
@@ -326,48 +332,71 @@ def prove(
         for v in pub or []:
             challenger.observe(v)
 
+    def observe_roots(cms) -> None:
+        """Absorb commitment roots with ONE device fetch for the whole
+        round (per-root np.asarray cost a tunnel round trip each)."""
+        live = [cm for cm in cms if cm is not None]
+        if not live:
+            return
+        fetched = jax.device_get([cm.root for cm in live])
+        for cm, r in zip(live, fetched):
+            cm.root = np.asarray(r)
+        for cm in cms:
+            if cm is not None:
+                challenger.observe_digest(cm.root)
+
     # round 0: preprocessed (vk) commitments
     pres: List[Optional[pcs.CommittedMatrix]] = []
     for (a, t), sp in zip(chips, shift_pows):
         if a.preprocessed is not None:
             pm = bb.to_mont(jnp.asarray(a.preprocessed.astype(np.uint32)))
-            cm = commit_fn(pm, config, shift_pow=sp)
-            pres.append(cm)
-            challenger.observe_digest(cm.root)
+            pres.append(commit_fn(pm, config, shift_pow=sp))
         else:
             pres.append(None)
+    observe_roots(pres)
 
     # round 1: main commitments
     mains = []
     for (a, t), sp in zip(chips, shift_pows):
-        cm = commit_fn(t, config, shift_pow=sp)
-        mains.append(cm)
-        challenger.observe_digest(cm.root)
+        mains.append(commit_fn(t, config, shift_pow=sp))
+    observe_roots(mains)
 
     alpha = challenger.sample_ext()
     beta = challenger.sample_ext()
 
-    # round 2: permutation traces
+    # round 2: permutation traces (commit all, then one fetch for
+    # roots + totals — transcript order per chip is root, total)
     perms: List[Optional[pcs.CommittedMatrix]] = []
     groups_per_chip: List[List[List[int]]] = []
-    totals: List[ExtVal] = []
+    totals: List[Optional[ExtVal]] = []
+    total_devs = []
     for (a, t), sp, pre_cm in zip(chips, shift_pows, pres):
         if a.interactions:
             groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
             perm, total = build_perm_trace(
                 a, t, groups, alpha, beta,
                 pre_trace=pre_cm.evals if pre_cm is not None else None,
+                defer_total=True,
             )
-            cm = commit_fn(perm, config, shift_pow=sp)
-            challenger.observe_digest(cm.root)
-            challenger.observe_ext(total)
-            perms.append(cm)
+            perms.append(commit_fn(perm, config, shift_pow=sp))
             groups_per_chip.append(groups)
-            totals.append(total)
+            total_devs.append(total)
+            totals.append(None)
         else:
             perms.append(None)
             groups_per_chip.append([])
             totals.append((0, 0, 0, 0))
+    live = [cm for cm in perms if cm is not None]
+    fetched = jax.device_get([[cm.root for cm in live], total_devs])
+    for cm, r in zip(live, fetched[0]):
+        cm.root = np.asarray(r)
+    it = iter(fetched[1])
+    for i, cm in enumerate(perms):
+        if cm is not None:
+            t_can = tuple(int(v) for v in bb.np_from_mont(np.asarray(next(it))))
+            totals[i] = t_can
+            challenger.observe_digest(cm.root)
+            challenger.observe_ext(t_can)
 
     alpha_q = challenger.sample_ext()
 
@@ -394,9 +423,8 @@ def prove(
             lde_pre=pre_cm.lde if pre_cm is not None else None,
             publics=pub,
         )
-        cm = commit_fn(qm, config, shift_pow=sp)
-        quotients.append(cm)
-        challenger.observe_digest(cm.root)
+        quotients.append(commit_fn(qm, config, shift_pow=sp))
+    observe_roots(quotients)
 
     zeta = challenger.sample_ext()
 
