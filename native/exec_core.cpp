@@ -12,6 +12,7 @@
 // Build: g++ -O2 -shared -fPIC -o libexec_core.so exec_core.cpp
 #include <cstdint>
 #include <cstring>
+#include <deque>
 #include <unordered_map>
 #include <vector>
 
@@ -36,6 +37,8 @@ enum Opcode : int32_t {
   OP_MULH, OP_MULHU, OP_MULHSU,
   OP_LB, OP_LBU, OP_LH, OP_LHU, OP_SB, OP_SH,
   OP_AUIPC,
+  // hints extension (vm/isa.py tail: revb, hintinv, hintsqrt, hintpop)
+  OP_REVB, OP_HINTINV, OP_HINTSQRT, OP_HINTPOP,
 };
 
 struct Cell {
@@ -85,6 +88,111 @@ struct Memory {
 
 }  // namespace
 
+// -- k256 field arithmetic for the hints extension ---------------------------
+// p = 2^256 - 2^32 - 977; 4x64-bit limbs, little-endian.  The hint values
+// are Montgomery-aware (R = 2^256): hintinv yields x^-1 * R^2 so that a
+// Montgomery-form input maps to the Montgomery-form inverse; hintsqrt maps
+// mont(a) to mont(sqrt(a)).  Mirrors vm/executor.py's python semantics.
+
+struct U256 {
+  uint64_t w[4];
+};
+
+static const uint64_t K256_C = 0x1000003D1ull;  // 2^32 + 977 = 2^256 - p
+
+static const U256 K256_P = {{0xFFFFFFFEFFFFFC2Full, 0xFFFFFFFFFFFFFFFFull,
+                             0xFFFFFFFFFFFFFFFFull, 0xFFFFFFFFFFFFFFFFull}};
+// exponents / constants (computed from p; see vm/executor.py)
+static const U256 K256_PM2 = {{0xFFFFFFFEFFFFFC2Dull, 0xFFFFFFFFFFFFFFFFull,
+                               0xFFFFFFFFFFFFFFFFull, 0xFFFFFFFFFFFFFFFFull}};
+static const U256 K256_SQRT_E = {{0xFFFFFFFFBFFFFF0Cull, 0xFFFFFFFFFFFFFFFFull,
+                                  0xFFFFFFFFFFFFFFFFull, 0x3FFFFFFFFFFFFFFFull}};
+static const U256 K256_R = {{0x00000001000003D1ull, 0, 0, 0}};  // 2^256 mod p
+static const U256 K256_R2 = {{0x000007A2000E90A1ull, 0x1ull, 0, 0}};  // R^2 mod p
+static const U256 K256_RINV = {{0xD838091D0868192Aull, 0xBCB223FEDC24A059ull,
+                                0x9C46C2C295F2B761ull, 0xC9BD190515538399ull}};
+
+static bool u256_is_zero(const U256& a) {
+  return (a.w[0] | a.w[1] | a.w[2] | a.w[3]) == 0;
+}
+
+static int u256_cmp(const U256& a, const U256& b) {
+  for (int i = 3; i >= 0; i--) {
+    if (a.w[i] != b.w[i]) return a.w[i] < b.w[i] ? -1 : 1;
+  }
+  return 0;
+}
+
+static uint64_t u256_sub(U256& a, const U256& b) {  // a -= b, returns borrow
+  unsigned __int128 br = 0;
+  for (int i = 0; i < 4; i++) {
+    unsigned __int128 d = (unsigned __int128)a.w[i] - b.w[i] - (uint64_t)br;
+    a.w[i] = (uint64_t)d;
+    br = (d >> 64) & 1;
+  }
+  return (uint64_t)br;
+}
+
+static void k256_reduce_once(U256& a) {
+  if (u256_cmp(a, K256_P) >= 0) u256_sub(a, K256_P);
+}
+
+// a*b mod p via 512-bit product + folding 2^256 = c (c = 2^32 + 977)
+static U256 k256_mul(const U256& a, const U256& b) {
+  uint64_t lo[8] = {0};
+  for (int i = 0; i < 4; i++) {
+    unsigned __int128 carry = 0;
+    for (int j = 0; j < 4; j++) {
+      unsigned __int128 t =
+          (unsigned __int128)a.w[i] * b.w[j] + lo[i + j] + (uint64_t)carry;
+      lo[i + j] = (uint64_t)t;
+      carry = t >> 64;
+    }
+    lo[i + 4] += (uint64_t)carry;
+  }
+  // fold hi*c into lo (hi = lo[4..8)): result < 2^256 + small
+  uint64_t acc[5] = {lo[0], lo[1], lo[2], lo[3], 0};
+  unsigned __int128 carry = 0;
+  for (int i = 0; i < 4; i++) {
+    unsigned __int128 t =
+        (unsigned __int128)lo[4 + i] * K256_C + acc[i] + (uint64_t)carry;
+    acc[i] = (uint64_t)t;
+    carry = t >> 64;
+  }
+  acc[4] = (uint64_t)carry;
+  // fold the one overflow limb again
+  unsigned __int128 t = (unsigned __int128)acc[4] * K256_C + acc[0];
+  U256 r;
+  r.w[0] = (uint64_t)t;
+  unsigned __int128 c2 = t >> 64;
+  for (int i = 1; i < 4; i++) {
+    unsigned __int128 u = (unsigned __int128)acc[i] + (uint64_t)c2;
+    r.w[i] = (uint64_t)u;
+    c2 = u >> 64;
+  }
+  if (c2) {  // one more wrap (adds c)
+    unsigned __int128 u = (unsigned __int128)r.w[0] + K256_C;
+    r.w[0] = (uint64_t)u;
+    uint64_t cc = (uint64_t)(u >> 64);
+    for (int i = 1; i < 4 && cc; i++) {
+      unsigned __int128 v = (unsigned __int128)r.w[i] + cc;
+      r.w[i] = (uint64_t)v;
+      cc = (uint64_t)(v >> 64);
+    }
+  }
+  k256_reduce_once(r);
+  return r;
+}
+
+static U256 k256_pow(U256 base, const U256& e) {
+  U256 result = {{1, 0, 0, 0}};
+  for (int i = 0; i < 256; i++) {
+    if ((e.w[i / 64] >> (i % 64)) & 1) result = k256_mul(result, base);
+    base = k256_mul(base, base);
+  }
+  return result;
+}
+
 extern "C" {
 
 // Record layout (columnar, one row per retired instruction):
@@ -129,6 +237,7 @@ int64_t powdr_execute(
   uint64_t ts = 1;
   int64_t steps = 0;
   bool halted = false;
+  std::deque<uint32_t> hints;  // hints-extension phantom value queue
 
   while (steps < max_steps) {
     if (epoch_steps > 0 && steps > 0 && steps % epoch_steps == 0) {
@@ -369,6 +478,45 @@ int64_t powdr_execute(
         out_rs1val[steps] = a;
         out_rdprev[steps] = wr_reg(rd[idx], pc + 4);
         next_pc = a + im;
+        break;
+      }
+      case OP_REVB: {
+        a = rd_reg(rs1[idx]);
+        out_rs1val[steps] = a;
+        out_rdprev[steps] = wr_reg(rd[idx], __builtin_bswap32(a));
+        break;
+      }
+      case OP_HINTINV: case OP_HINTSQRT: {
+        // phantom: host-side read of 8 RAM words at the pointer in rs1;
+        // the k256 field hint limbs go to the queue (no circuit access)
+        uint32_t ptr = mem.cell(1, rs1[idx]).val;
+        U256 x;
+        for (int i = 0; i < 4; i++) {
+          uint64_t lo = mem.cell(2, (ptr + 8 * i) & MASK32).val;
+          uint64_t hi = mem.cell(2, (ptr + 8 * i + 4) & MASK32).val;
+          x.w[i] = lo | (hi << 32);
+        }
+        k256_reduce_once(x);
+        U256 v;
+        if (o == OP_HINTINV) {
+          if (u256_is_zero(x)) v = U256{{0, 0, 0, 0}};
+          else v = k256_mul(k256_pow(x, K256_PM2), K256_R2);
+        } else {
+          U256 raw = k256_mul(x, K256_RINV);
+          v = k256_mul(k256_pow(raw, K256_SQRT_E), K256_R);
+        }
+        for (int i = 0; i < 4; i++) {
+          hints.push_back((uint32_t)v.w[i]);
+          hints.push_back((uint32_t)(v.w[i] >> 32));
+        }
+        break;
+      }
+      case OP_HINTPOP: {
+        if (hints.empty()) return -1;
+        uint32_t v = hints.front();
+        hints.pop_front();
+        out_memval[steps] = v;  // hint value rides the mem_val column
+        out_rdprev[steps] = wr_reg(rd[idx], v);
         break;
       }
       default:

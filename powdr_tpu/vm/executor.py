@@ -372,7 +372,7 @@ class Executor:
             elif op == "hintpop":
                 assert self.hint_queue, "hintpop on empty hint queue"
                 v = self.hint_queue.pop(0)
-                rec["rd_val"] = v
+                rec["rd_val"] = rec["mem_val"] = v
                 rec["rd_prev"] = wr_reg(ins.rd, v)
             else:
                 raise ValueError(f"unknown opcode {op}")

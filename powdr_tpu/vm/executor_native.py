@@ -70,6 +70,7 @@ _N_ACCESS = {
     "lw": 3, "sw": 3, "lb": 3, "lbu": 3, "lh": 3, "lhu": 3, "sb": 3, "sh": 3,
     **{op: 2 for op in ("beq", "bne", "blt", "bge", "bltu", "bgeu")},
     "jal": 1, "jalr": 2, "halt": 0,
+    "revb": 2, "hintinv": 0, "hintsqrt": 0, "hintpop": 1,
 }
 
 

@@ -1334,7 +1334,9 @@ def _hintpop_build():
 
 def _hintpop_wg(rec):
     cols = _wg_base(rec)
-    for i, x in enumerate(_bytes(rec["rd_val"])):
+    # the popped value rides rd_val (python executor) / mem_val (native core)
+    v = rec["rd_val"] if "rd_val" in rec else rec["mem_val"]
+    for i, x in enumerate(_bytes(v)):
         cols[f"hint__{i}"] = x
     _wg_write(cols, "rd", _bytes(rec["rd_prev"]), rec["prev_ts"][0], rec["ts"])
     return cols

@@ -84,3 +84,22 @@ def verify_chips(
 ) -> None:
     ch = Challenger()
     stark_verifier.verify(airs, proof, config, ch, vk=vk)
+
+
+def prove_chips_aggregated(chips: List[Chip], config: StarkConfig):
+    """Prove the VM chips, then wrap the proof in an aggregation proof:
+    the full STARK verification of the app proof re-runs inside the
+    ExtALU/Poseidon2 aggregation circuit (stark.circuit_verifier), whose
+    publics bind the app proof's per-chip main commitment roots.
+
+    This is the reference's app -> leaf aggregation step
+    (/root/reference/openvm-riscv/src/lib.rs:309-325) collapsed to one
+    level.  Returns (agg_airs, agg_proof, app_airs, app_proof)."""
+    from ..stark.circuit_verifier import aggregate
+
+    app_airs, app_proof = prove_chips(chips, config)
+    circ, _tape = aggregate([(app_airs, app_proof)], config)
+    agg_proof = stark_prover.prove(
+        list(zip(circ.airs, circ.traces)), config, Challenger(), publics=circ.publics
+    )
+    return circ.airs, agg_proof, app_airs, app_proof

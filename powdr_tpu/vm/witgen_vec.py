@@ -590,7 +590,28 @@ def _build_all() -> Dict[str, Callable[[Rec], Cols]]:
     out["jal"] = _jal_wg
     out["jalr"] = _jalr_wg
     out["halt"] = _halt_wg
+    out["revb"] = _revb_wg
+    out["hintinv"] = _wg_base
+    out["hintsqrt"] = _wg_base
+    out["hintpop"] = _hintpop_wg
     return out
+
+
+def _revb_wg(rec: Rec) -> Cols:
+    cols = _wg_base(rec)
+    t0 = rec["ts"]
+    _wg_access(cols, "rs1", rec["rs1_val"], rec["prev_ts"][0], t0)
+    _wg_write(cols, "rd", rec["rd_prev"], rec["prev_ts"][1], t0 + U(1))
+    return cols
+
+
+def _hintpop_wg(rec: Rec) -> Cols:
+    cols = _wg_base(rec)
+    v = rec["mem_val"]  # native core parks the hint value here
+    for i in range(4):
+        cols[f"hint__{i}"] = _b(v, i)
+    _wg_write(cols, "rd", rec["rd_prev"], rec["prev_ts"][0], rec["ts"])
+    return cols
 
 
 _REGISTRY: Dict[str, Callable[[Rec], Cols]] | None = None

@@ -458,6 +458,14 @@ def test_hints_extension():
     check(res)
     assert res.records["hintpop"] and res.records["revb"]
     mock_check(build_chips(prog, res))
+    # native core computes identical hints (k256 modpow in C++) and the
+    # columnar witgen path mock-checks too
+    from powdr_tpu.vm.executor_native import run_native_columnar
+
+    nat = run_native_columnar(prog, mem)
+    check(nat)
+    assert nat.instret == res.instret
+    mock_check(build_chips(prog, nat))
 
 
 def test_hints_wrong_hint_fails_in_guest():
