@@ -97,6 +97,16 @@ def _buffers(max_steps: int):
 
 
 
+def _default_segment_steps(segment_steps):
+    """Same default as Executor.run: the ISA's timestamp epoch cap
+    (re-read so --small-tables DT_BITS shrinkage takes effect)."""
+    if segment_steps is not None:
+        return segment_steps
+    from . import isa as _isa
+
+    return (1 << _isa.DT_BITS) // TS_DELTA
+
+
 def _call_core(program, initial_mem, max_steps, segment_steps, pc_base=0, start_pc=None):
     """Invoke the native core; returns (steps, buffers..., refresh arrays)."""
     lib = _lib()
@@ -195,6 +205,7 @@ def run_native_columnar(
     /root/reference/openvm-riscv/src/lib.rs:270-283).  Executions longer
     than isa.SEG_STEPS instructions require it; refresh rows land in
     result.mem_refresh / result.exec_refresh for the refresh chips."""
+    segment_steps = _default_segment_steps(segment_steps)
     (
         steps, rd, rs1, rs2, imm,
         out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,
@@ -261,6 +272,7 @@ def run_native(
     pc_base: int = 0,
     start_pc: Optional[int] = None,
 ) -> ExecutionResult:
+    segment_steps = _default_segment_steps(segment_steps)
     (
         steps, rd_a, rs1_a, rs2_a, imm_a,
         out_op, out_pc, out_ts, out_rs1, out_rs2, out_rdp, out_mv, out_mp, out_pts,

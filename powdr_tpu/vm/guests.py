@@ -727,3 +727,128 @@ def hints_test_guest(seed: int = 3):
         assert al.from_mont(root, K256_P) ** 2 % K256_P == sq
 
     return assemble(a.lines), mem, check
+
+
+# -- affine-hint ECC guest -------------------------------------------------------
+# Counterpart of /root/reference/openvm-riscv/guest-ecc-powdr-affine-hint:
+# secp256k1 scalar multiplication in AFFINE coordinates, with every field
+# inverse supplied by the hintinv phantom and verified in-guest (den * inv
+# == mont(1) or jump to the fail path).  Affine + hints trades the Jacobian
+# ladder's extra multiplications for one verified inverse per point op —
+# the trace profile the reference variant exists to exercise.
+
+_AH = 0x2200
+AH_X1, AH_Y1, AH_GX, AH_GY = _AH, _AH + 0x20, _AH + 0x40, _AH + 0x60
+AH_K, AH_DEN, AH_INV, AH_LAM = _AH + 0x80, _AH + 0xA0, _AH + 0xC0, _AH + 0xE0
+AH_T0, AH_T1, AH_OUTX, AH_OUTY = _AH + 0x100, _AH + 0x120, _AH + 0x140, _AH + 0x160
+AH_I, AH_FLAG = _AH + 0x180, _AH + 0x184
+
+
+def ecc_affine_hint_guest(k_bits: int = 32, seed: int = 9):
+    import random
+
+    from . import asmlib as al
+    from .asmlib import DESC_P, STACK_TOP, Asm, fe_add, fe_mul, fe_sub
+
+    curve = al.PyCurve()
+    rnd = random.Random(seed)
+    k = rnd.randrange(1 << (k_bits - 1), 1 << k_bits)  # MSB set
+    expect = curve.mul(k, curve.G)
+    mp = lambda v: al.to_mont(v, curve.p)
+
+    mem = {}
+    mem.update(al.desc_mem(DESC_P, curve.p))
+    for addr, v in [
+        (AH_GX, mp(curve.G[0])), (AH_GY, mp(curve.G[1])),
+        (AH_X1, mp(curve.G[0])), (AH_Y1, mp(curve.G[1])),
+        (AH_K, k),
+    ]:
+        mem.update(al.fe_mem(addr, v))
+
+    a = Asm()
+    a.li(2, STACK_TOP)
+    a.li(19, DESC_P)
+    a.store_imm(AH_I, k_bits - 2)  # acc = G covers the MSB
+    a.label("loop")
+    a.call("ah_dbl")
+    a.l("lw", 9, 0, 0, AH_I)
+    _emit_bit_read(a, AH_K, 9, 10)
+    a.l("beq", 0, 10, 0, "skip")
+    a.call("ah_add")
+    a.label("skip")
+    a.l("lw", 9, 0, 0, AH_I)
+    a.l("beq", 0, 9, 0, "done")
+    a.l("addi", 9, 9, 0, -1)
+    a.l("sw", 0, 0, 9, AH_I)
+    a.l("jal", 30, 0, 0, "loop")
+    a.label("done")
+    fe_mul(a, AH_OUTX, AH_X1, al.ONE_RAW_SLOT)  # to canonical form
+    fe_mul(a, AH_OUTY, AH_Y1, al.ONE_RAW_SLOT)
+    a.store_imm(AH_FLAG, 1)
+    a.l("halt",)
+    a.label("fail")
+    a.store_imm(AH_FLAG, 2)
+    a.l("halt",)
+
+    # inv: AH_INV = AH_DEN^-1 via the hint queue, verified in-field
+    a.label("ah_inv")
+    a.push(1)
+    a.li(5, AH_DEN)
+    a.l("hintinv", 0, 5)
+    for i in range(8):
+        a.l("hintpop", 6)
+        a.l("sw", 0, 0, 6, AH_INV + 4 * i)
+    fe_mul(a, AH_T0, AH_DEN, AH_INV)
+    for i in range(8):
+        a.l("lw", 5, 0, 0, AH_T0 + 4 * i)
+        a.l("lw", 6, 19, 0, 64 + 4 * i)  # mont(1)
+        a.l("bne", 0, 5, 6, "fail")
+    a.pop(1)
+    a.ret()
+
+    # acc = 2*acc (affine): lam = 3x^2/(2y); x' = lam^2-2x; y' = lam(x-x')-y
+    a.label("ah_dbl")
+    a.push(1)
+    fe_add(a, AH_DEN, AH_Y1, AH_Y1)
+    a.call("ah_inv")
+    fe_mul(a, AH_T0, AH_X1, AH_X1)
+    fe_add(a, AH_T1, AH_T0, AH_T0)
+    fe_add(a, AH_T0, AH_T1, AH_T0)
+    fe_mul(a, AH_LAM, AH_T0, AH_INV)
+    fe_mul(a, AH_T0, AH_LAM, AH_LAM)
+    fe_sub(a, AH_T0, AH_T0, AH_X1)
+    fe_sub(a, AH_T0, AH_T0, AH_X1)
+    fe_sub(a, AH_T1, AH_X1, AH_T0)
+    fe_mul(a, AH_T1, AH_LAM, AH_T1)
+    fe_sub(a, AH_Y1, AH_T1, AH_Y1)
+    a.copy32(AH_X1, AH_T0)
+    a.pop(1)
+    a.ret()
+
+    # acc = acc + G (affine, x_G != x_acc by scalar choice):
+    # lam = (yG-y)/(xG-x); x3 = lam^2-x-xG; y3 = lam(x-x3)-y
+    a.label("ah_add")
+    a.push(1)
+    fe_sub(a, AH_DEN, AH_GX, AH_X1)
+    a.call("ah_inv")
+    fe_sub(a, AH_T0, AH_GY, AH_Y1)
+    fe_mul(a, AH_LAM, AH_T0, AH_INV)
+    fe_mul(a, AH_T0, AH_LAM, AH_LAM)
+    fe_sub(a, AH_T0, AH_T0, AH_X1)
+    fe_sub(a, AH_T0, AH_T0, AH_GX)
+    fe_sub(a, AH_T1, AH_X1, AH_T0)
+    fe_mul(a, AH_T1, AH_LAM, AH_T1)
+    fe_sub(a, AH_Y1, AH_T1, AH_Y1)
+    a.copy32(AH_X1, AH_T0)
+    a.pop(1)
+    a.ret()
+
+    al.emit_field_lib(a)
+
+    def check(result):
+        assert result.final_mem[(2, AH_FLAG)][1] == 1, "in-guest inverse check failed"
+        got_x = al.from_limbs([result.final_mem[(2, AH_OUTX + 4 * i)][1] for i in range(8)])
+        got_y = al.from_limbs([result.final_mem[(2, AH_OUTY + 4 * i)][1] for i in range(8)])
+        assert (got_x, got_y) == expect, ((hex(got_x), hex(got_y)), expect)
+
+    return assemble(a.lines), mem, check

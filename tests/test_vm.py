@@ -491,3 +491,28 @@ def test_hints_wrong_hint_fails_in_guest():
 
     res = Tampered(prog, mem).run()
     assert res.final_mem[(2, HT_FLAG)][1] == 2, "guest must take the fail path"
+
+
+def test_guest_ecc_affine_hint():
+    """Affine secp256k1 scalar-mul with hint-supplied verified inverses
+    (guest-ecc-powdr-affine-hint counterpart), on the native executor."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import ecc_affine_hint_guest
+
+    prog, mem, check = ecc_affine_hint_guest(k_bits=16)
+    res = run_native_columnar(prog, mem)
+    check(res)
+    assert "hintinv" in res.records_columnar
+    mock_check(build_chips(prog, res))
+
+
+@pytest.mark.slow
+def test_guest_ecc_affine_hint_full_scalar():
+    """Full 256-bit scalar (~4M instructions, segmented)."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import ecc_affine_hint_guest
+
+    prog, mem, check = ecc_affine_hint_guest(k_bits=256)
+    res = run_native_columnar(prog, mem, max_steps=1 << 23)
+    check(res)
+    mock_check(build_chips(prog, res))
