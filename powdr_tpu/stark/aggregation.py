@@ -136,10 +136,15 @@ def build_alu_air(n_publics: int) -> Air:
 
 
 # -- Poseidon2 chip ----------------------------------------------------------
+# Optional per-row half-swap: Merkle path steps need compress(sib, cur) or
+# compress(cur, sib) by an index bit; doing the swap in-chip (one received
+# bit + 16 swapped-state columns) replaces 16 ExtALU select rows per level.
 
 P2_IN0 = 0
-P2_FR1 = 16  # rounds 0..3: x3 at FR1 + r*32 + i, y at + 16
-P2_PR = 16 + 4 * 32  # partial rounds: x3 at PR + 2r, y at PR + 2r + 1
+P2_SW = 16  # swap bit (0 on rows without use_swap)
+P2_SS0 = 17  # swapped state: ss_i = in_i + sw*(in_{i^8} - in_i)
+P2_FR1 = 33  # rounds 0..3: x3 at FR1 + r*32 + i, y at + 16
+P2_PR = P2_FR1 + 4 * 32  # partial rounds: x3 at PR + 2r, y at PR + 2r + 1
 P2_FR2 = P2_PR + 2 * 13  # rounds 4..7
 P2_WIDTH = P2_FR2 + 4 * 32
 
@@ -147,7 +152,9 @@ P2_WIN0 = 0
 P2_WOUT0 = 16
 P2_FAN0 = 32
 P2_ACTIVE = 48
-P2_PRE_WIDTH = 49
+P2_WBIT = 49  # wire id of the swap bit
+P2_USESWAP = 50
+P2_PRE_WIDTH = 51
 
 
 def _ext_mat_exprs(xs: List[ir.Expr]) -> List[ir.Expr]:
@@ -191,7 +198,18 @@ def build_poseidon_air() -> Air:
         cons.append(ir.Mul(active, ir.Sub(y, ir.Mul(ir.Mul(x3, x3), x_expr))))
         return y
 
-    state: List[ir.Expr] = _ext_mat_exprs([ir.Col(P2_IN0 + i) for i in range(16)])
+    # swapped state: sw is a received bit wire (producer constrains
+    # booleanness); rows without use_swap force sw = 0 so ss == in
+    sw = ir.Col(P2_SW)
+    cons.append(ir.Mul(ir.Sub(active, ir.PreCol(P2_USESWAP)), sw))
+    for i in range(16):
+        a = ir.Col(P2_IN0 + i)
+        b = ir.Col(P2_IN0 + (i ^ 8))
+        cons.append(
+            ir.Mul(active, ir.Sub(ir.Col(P2_SS0 + i), ir.Add(a, ir.Mul(sw, ir.Sub(b, a)))))
+        )
+
+    state: List[ir.Expr] = _ext_mat_exprs([ir.Col(P2_SS0 + i) for i in range(16)])
     for r in range(4):
         ys = []
         for i in range(16):
@@ -224,6 +242,13 @@ def build_poseidon_air() -> Air:
                 [ir.PreCol(P2_WIN0 + i), ir.Col(P2_IN0 + i), zero, zero, zero],
             )
         )
+    inters.append(
+        receive(
+            WIRE_BUS,
+            ir.PreCol(P2_USESWAP),
+            [ir.PreCol(P2_WBIT), sw, zero, zero, zero],
+        )
+    )
     for i in range(16):
         inters.append(
             send(
@@ -252,6 +277,8 @@ def _fanouts(t: Tape) -> np.ndarray:
     for perm in t.perms:
         for wid in perm.ins:
             fan[wid] += 1
+        if perm.swap >= 0:
+            fan[perm.swap] += 1
     return fan
 
 
@@ -305,8 +332,13 @@ def build_poseidon_trace(t: Tape, fan: np.ndarray) -> Tuple[np.ndarray, np.ndarr
     vals = np.asarray(t.vals, dtype=np.uint32).reshape(-1, 4)
     ins = np.array([p.ins for p in t.perms], dtype=np.int64)  # (m, 16)
     outs = np.array([p.outs for p in t.perms], dtype=np.int64)
-    x = vals[ins][:, :, 0].astype(np.uint64)  # (m, 16) canonical
-    main[:n_rows, P2_IN0 : P2_IN0 + 16] = x.astype(np.uint32)
+    swaps = np.array([p.swap for p in t.perms], dtype=np.int64)
+    raw = vals[ins][:, :, 0].astype(np.uint64)  # (m, 16) canonical
+    main[:n_rows, P2_IN0 : P2_IN0 + 16] = raw.astype(np.uint32)
+    sw = np.where(swaps >= 0, vals[np.maximum(swaps, 0)][:, 0], 0).astype(np.uint64)
+    main[:n_rows, P2_SW] = sw.astype(np.uint32)
+    x = np.where(sw[:, None] == 1, np.roll(raw, 8, axis=1), raw)
+    main[:n_rows, P2_SS0 : P2_SS0 + 16] = x.astype(np.uint32)
 
     def ext_mat_np(x: np.ndarray) -> np.ndarray:
         g = x.reshape(-1, 4, 4)
@@ -350,6 +382,8 @@ def build_poseidon_trace(t: Tape, fan: np.ndarray) -> Tuple[np.ndarray, np.ndarr
     pre[:n_rows, P2_WOUT0 : P2_WOUT0 + 16] = outs.astype(np.uint32)
     pre[:n_rows, P2_FAN0 : P2_FAN0 + 16] = fan[outs].astype(np.uint32)
     pre[:n_rows, P2_ACTIVE] = 1
+    pre[:n_rows, P2_WBIT] = np.maximum(swaps, 0).astype(np.uint32)
+    pre[:n_rows, P2_USESWAP] = (swaps >= 0).astype(np.uint32)
     return main, pre
 
 

@@ -158,17 +158,16 @@ def _verify_path(
     sib_rows: Sequence[Sequence[int]],
     root: Sequence[int],
 ) -> None:
-    """Merkle path check; bits entries are bit wires, or static 0/1 ints
-    (known ordering needs no selects).  Mirrors merkle.verify_path."""
+    """Merkle path check; bits entries are bit wires (ordering handled by
+    the Poseidon2 chip's in-row half-swap — no select ops), or static
+    "lo"/"hi" markers.  Mirrors merkle.verify_path."""
     for bit, sib in zip(bits, sib_rows):
         if bit == "lo":
-            left, right = cur, list(sib)
+            cur = t.permute(cur + list(sib))[:8]
         elif bit == "hi":
-            left, right = list(sib), cur
+            cur = t.permute(list(sib) + cur)[:8]
         else:
-            left = [t.select(bit, sib[i], cur[i]) for i in range(8)]
-            right = [t.select(bit, cur[i], sib[i]) for i in range(8)]
-        cur = t.permute(left + right)[:8]
+            cur = t.permute(cur + list(sib), swap=bit)[:8]
     for i in range(8):
         t.eq(cur[i], root[i])
 

@@ -60,6 +60,7 @@ class AluOp:
 class PermOp:
     ins: List[int]  # 16 wire ids
     outs: List[int]  # 16 wire ids
+    swap: int = -1  # optional bit wire: permute the half-swapped state
 
 
 def _as_ext(v) -> ExtVal:
@@ -234,15 +235,26 @@ class Tape:
 
     # -- poseidon2 -----------------------------------------------------------
 
-    def permute(self, ins: Sequence[int]) -> List[int]:
-        """One Poseidon2 permutation row; 16 base-valued wires in/out."""
+    def permute(self, ins: Sequence[int], swap: Optional[int] = None) -> List[int]:
+        """One Poseidon2 permutation row; 16 base-valued wires in/out.
+
+        With `swap` (a bit wire), the permuted state is the half-swapped
+        input (lane i <-> lane i^8 when the bit is 1) — the Merkle
+        left/right ordering without per-lane select ops."""
         assert len(ins) == 16
         for w in ins:
             assert self.vals[w][1:] == (0, 0, 0), "poseidon lanes are base values"
         state = [self.vals[w][0] for w in ins]
+        if swap is not None:
+            bv = self.vals[swap]
+            assert bv[0] in (0, 1) and bv[1:] == (0, 0, 0), "swap needs a bit wire"
+            if bv[0]:
+                state = state[8:] + state[:8]
         out_vals = poseidon2_canonical(state)
         outs = [self._new((v, 0, 0, 0)) for v in out_vals]
-        self.perms.append(PermOp(ins=list(ins), outs=outs))
+        self.perms.append(
+            PermOp(ins=list(ins), outs=outs, swap=-1 if swap is None else swap)
+        )
         return outs
 
     # -- stats ---------------------------------------------------------------

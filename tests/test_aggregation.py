@@ -135,3 +135,37 @@ def test_aggregated_proof_end_to_end():
     r1 = [int(v) for v in bb.np_from_mont(np.asarray(p1.chips[0].main_root, np.uint32))]
     r2 = [int(v) for v in bb.np_from_mont(np.asarray(p2.chips[0].main_root, np.uint32))]
     assert agg.publics[0] == r1 + r2
+
+
+@pytest.mark.slow
+def test_vm_proof_aggregation():
+    """A full VM proof (11 chips: preprocessed program tables, mixed
+    heights -> FRI join layers, per-chip buses) verified in-circuit — the
+    reference's app -> leaf aggregation step (openvm-riscv/src/lib.rs:309-325)."""
+    from powdr_tpu.vm import isa, machines, system
+    from powdr_tpu.vm.executor import Executor, assemble
+    from powdr_tpu.vm.prove import prove_chips_aggregated, verify_chips
+    from powdr_tpu.vm.system import build_chips
+
+    saved = (isa.USE_BITWISE_FOR_BYTE_RANGE, isa.DT_BITS, system.MAX_RANGE_BITS)
+    isa.USE_BITWISE_FOR_BYTE_RANGE = False
+    isa.DT_BITS = 10
+    system.MAX_RANGE_BITS = 10
+    machines.rebuild_registry()
+    try:
+        prog = assemble([
+            ("addi", 1, 0, 0, 50), ("addi", 2, 0, 0, 0), ("addi", 3, 0, 0, 0),
+            "loop:", ("add", 2, 2, 1), ("addi", 3, 3, 0, 1),
+            ("bne", 0, 3, 1, "loop"), ("sw", 0, 0, 2, 256), ("halt",),
+        ])
+        res = Executor(prog).run()
+        chips = build_chips(prog, res)
+        agg_airs, agg_proof, app_airs, app_proof = prove_chips_aggregated(chips, CFG)
+        verify_chips(agg_airs, agg_proof, CFG)
+        # publics bind every app chip's main root (8 lanes each) in order
+        assert len(agg_proof.publics[0]) == 8 * len(app_airs)
+        r0 = [int(v) for v in bb.np_from_mont(np.asarray(app_proof.chips[0].main_root, np.uint32))]
+        assert agg_proof.publics[0][:8] == r0
+    finally:
+        isa.USE_BITWISE_FOR_BYTE_RANGE, isa.DT_BITS, system.MAX_RANGE_BITS = saved
+        machines.rebuild_registry()
