@@ -1,11 +1,15 @@
 """Headline benchmark: BabyBear NTT throughput at 2^24 on the real chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} (headline)
+plus an "extra" object with secondary end-to-end metrics
+(guest_keccak_proofs_per_min, loop guest proof seconds) when BENCH_E2E=1
+— the e2e run proves a full VM execution on the chip, so it is opt-out
+by default only where the chip is unreachable.
 
-Methodology: the transform is the Bailey four-step NTT (ntt/fourstep.py:
-two leading-axis DIF ladders + mid twiddle + two transposes; natural
-input, bit-reversed output — the order convention the whole prover
-pipeline uses; data at rest never needs the bitrev gather).
+Methodology (headline): the transform is the Bailey four-step NTT
+(ntt/fourstep.py: two leading-axis DIF ladders + mid twiddle + two
+transposes; natural input, bit-reversed output — the order convention the
+whole prover pipeline uses; data at rest never needs the bitrev gather).
 Timing chains k transforms inside one jitted fori_loop and differences
 two chain lengths, which cancels the ~0.4s dispatch round-trip of the
 tunneled TPU plus any constant overheads.
@@ -17,12 +21,62 @@ numbers; this constant is our fixed comparison anchor across rounds).
 """
 import functools
 import json
+import os
 import sys
 import time
 
 BASELINE_ELEMS_PER_S = float(1 << 30)
 LOG_N = 24
 SHORT, LONG = 2, 18
+
+
+def e2e_proof_metrics() -> dict:
+    """End-to-end proofs/min (reference metric surface:
+    openvm-riscv/scripts/basic_metrics.py total_proof_time_ms and the
+    nightly guest-keccak config).  Proves the keccak-f guest's full VM
+    trace with the 100-bit-shaped TEST config and a small loop guest;
+    warm timing (one untimed run populates the persistent compile cache)."""
+    from powdr_tpu.cli import _guest
+    from powdr_tpu.stark.config import StarkConfig
+    from powdr_tpu.vm.executor import Executor
+    from powdr_tpu.vm.prove import prove_chips, verify_chips
+    from powdr_tpu.vm.system import build_chips
+
+    import signal
+
+    cfg = StarkConfig(log_blowup=2, num_queries=20, proof_of_work_bits=4)
+    out = {}
+    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "1500"))
+
+    def _alarm(signum, frame):
+        raise TimeoutError("e2e budget exhausted")
+
+    signal.signal(signal.SIGALRM, _alarm)
+    signal.alarm(int(budget))
+    t_start = time.perf_counter()
+    try:
+        for guest in ("loop", "keccak"):
+            prog, mem, _check = _guest(guest)
+            res = Executor(prog, mem).run()
+            chips = build_chips(prog, res)
+            t0 = time.perf_counter()
+            airs, proof = prove_chips(chips, cfg)
+            dt_cold = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            airs, proof = prove_chips(chips, cfg)
+            dt = time.perf_counter() - t0
+            verify_chips(airs, proof, cfg)
+            out[f"guest_{guest}_proof_s"] = round(dt, 2)
+            out[f"guest_{guest}_proof_cold_s"] = round(dt_cold, 2)
+            out[f"guest_{guest}_proofs_per_min"] = round(60.0 / dt, 3)
+            if time.perf_counter() - t_start + 3 * dt_cold > budget:
+                out["budget_stop"] = guest  # not enough budget for the next
+                break
+    except TimeoutError:
+        out["budget_stop"] = "timeout"  # report whatever finished
+    finally:
+        signal.alarm(0)
+    return out
 
 
 def main() -> None:
@@ -67,16 +121,18 @@ def main() -> None:
     dt = (t_long - t_short) / (LONG - SHORT)
 
     elems_per_s = n / dt
-    print(
-        json.dumps(
-            {
-                "metric": f"babybear_ntt_2^{LOG_N}_elems_per_s",
-                "value": round(elems_per_s, 1),
-                "unit": "elems/s",
-                "vs_baseline": round(elems_per_s / BASELINE_ELEMS_PER_S, 4),
-            }
-        )
-    )
+    result = {
+        "metric": f"babybear_ntt_2^{LOG_N}_elems_per_s",
+        "value": round(elems_per_s, 1),
+        "unit": "elems/s",
+        "vs_baseline": round(elems_per_s / BASELINE_ELEMS_PER_S, 4),
+    }
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        try:
+            result["extra"] = e2e_proof_metrics()
+        except Exception as e:  # the headline metric must still report
+            result["extra"] = {"e2e_error": repr(e)[:200]}
+    print(json.dumps(result))
 
 
 def _timed(sync, chain, x, tables, iters):

@@ -229,6 +229,14 @@ def exhaustive_pass(
     for fi, fv in enumerate(fact_vars):
         for v in fv:
             fact_occ.setdefault(v, []).append(fi)
+    # vars eligible to be pulled into a group closure, computed once —
+    # checking range smallness per (seed, candidate, var) dominated the
+    # pass (tens of millions of RangeConstraint calls on keccak)
+    small_vars: Set[int] = {
+        v
+        for v, r in ranges.items()
+        if r is not None and not r.is_wrapping() and r.range_size() <= 4
+    }
     for vs0, idx in by_vars:
         if not vs0 or len(vs0) > max_group_vars:
             continue
@@ -251,12 +259,7 @@ def exhaustive_pass(
                     extra = cset - vs
                     if not extra or len(extra) > 6 or len(vs) + len(extra) > max_closed_vars:
                         continue
-                    if all(
-                        ranges.get(v) is not None
-                        and not ranges[v].is_wrapping()
-                        and ranges[v].range_size() <= 4
-                        for v in extra
-                    ):
+                    if extra <= small_vars:
                         vs |= extra
         key = tuple(sorted(vs))
         if key in seen_groups:

@@ -21,7 +21,7 @@ P = 2013265921
 
 
 class GroupedExpression:
-    __slots__ = ("quadratic", "linear", "constant", "_key")
+    __slots__ = ("quadratic", "linear", "constant", "_key", "_norm", "_vars")
 
     def __init__(
         self,
@@ -32,6 +32,17 @@ class GroupedExpression:
         self.quadratic = quadratic or []
         self.linear = {v: c % P for v, c in (linear or {}).items() if c % P}
         self.constant = constant % P
+
+    @classmethod
+    def _raw(cls, quadratic, linear, constant) -> "GroupedExpression":
+        """Construct WITHOUT canonicalizing — internal arithmetic already
+        produces reduced, zero-free coefficients; the __init__ dict sweep
+        was the solver's hottest line on big systems."""
+        self = object.__new__(cls)
+        self.quadratic = quadratic
+        self.linear = linear
+        self.constant = constant
+        return self
 
     # -- constructors --------------------------------------------------------
 
@@ -70,23 +81,30 @@ class GroupedExpression:
             d = max(d, l.degree() + r.degree())
         return d
 
-    def variables(self) -> set:
-        out = set(self.linear)
-        for l, r in self.quadratic:
-            out |= l.variables()
-            out |= r.variables()
-        return out
+    def variables(self) -> frozenset:
+        v = getattr(self, "_vars", None)
+        if v is None:
+            out = set(self.linear)
+            for l, r in self.quadratic:
+                out |= l.variables()
+                out |= r.variables()
+            self._vars = v = frozenset(out)
+        return v
 
     # -- arithmetic ----------------------------------------------------------
 
     def __add__(self, other: "GroupedExpression") -> "GroupedExpression":
         lin = dict(self.linear)
         for v, c in other.linear.items():
-            lin[v] = (lin.get(v, 0) + c) % P
-        return GroupedExpression(
-            quadratic=self.quadratic + other.quadratic,
-            linear=lin,
-            constant=self.constant + other.constant,
+            s = (lin.get(v, 0) + c) % P
+            if s:
+                lin[v] = s
+            elif v in lin:
+                del lin[v]
+        return GroupedExpression._raw(
+            self.quadratic + other.quadratic,
+            lin,
+            (self.constant + other.constant) % P,
         )
 
     def __sub__(self, other: "GroupedExpression") -> "GroupedExpression":
@@ -99,10 +117,13 @@ class GroupedExpression:
         c %= P
         if c == 0:
             return GroupedExpression()
-        return GroupedExpression(
-            quadratic=[(l.scale(c), r) for l, r in self.quadratic],
-            linear={v: k * c % P for v, k in self.linear.items()},
-            constant=self.constant * c % P,
+        if c == 1:
+            return self
+        # c != 0 and P prime: k*c stays nonzero, no re-filter needed
+        return GroupedExpression._raw(
+            [(l.scale(c), r) for l, r in self.quadratic],
+            {v: k * c % P for v, k in self.linear.items()},
+            self.constant * c % P,
         )
 
     def __mul__(self, other: "GroupedExpression") -> "GroupedExpression":
@@ -112,7 +133,7 @@ class GroupedExpression:
         oc = other.try_to_constant()
         if oc is not None:
             return self.scale(oc)
-        return GroupedExpression(quadratic=[(self, other)])
+        return GroupedExpression._raw([(self, other)], {}, 0)
 
     def eval(self, assignment: Dict[int, int]) -> int:
         """Evaluate under a (complete) variable assignment."""
@@ -164,8 +185,14 @@ class GroupedExpression:
 
     def normalized(self) -> "GroupedExpression":
         """Fold constant-valued quadratic factors into the affine part and
-        drop vanished pairs."""
-        out = GroupedExpression(linear=dict(self.linear), constant=self.constant)
+        drop vanished pairs.  Cached: a normalized() result returns itself
+        (expressions are immutable after construction)."""
+        if getattr(self, "_norm", False):
+            return self
+        if not self.quadratic:
+            self._norm = True
+            return self
+        out = GroupedExpression._raw([], dict(self.linear), self.constant)
         for l, r in self.quadratic:
             ln, rn = l.normalized(), r.normalized()
             lc, rc = ln.try_to_constant(), rn.try_to_constant()
@@ -175,6 +202,7 @@ class GroupedExpression:
                 out = out + ln.scale(rc)
             else:
                 out.quadratic.append((ln, rn))
+        out._norm = True
         return out
 
     def key(self):
