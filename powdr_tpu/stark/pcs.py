@@ -113,6 +113,61 @@ def commit(evals: jnp.ndarray, config: StarkConfig, shift_pow: int = 0) -> Commi
     )
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _commit_impl_many(evals_tuple, log_blowup: int, shift: int):
+    """LDE + leaf hashing + tree levels for MANY same-height matrices in
+    one jitted program (a multi-chip round otherwise pays 2 dispatches
+    per chip through the tunnel)."""
+    out = []
+    for evals in evals_tuple:
+        lde = _lde_matrix.__wrapped__(evals, log_blowup, shift)
+        layers = merkle._build_layers.__wrapped__(p2.hash_rows.__wrapped__(lde))
+        out.append((lde, layers))
+    return tuple(out)
+
+
+def commit_group(
+    evals_list: Sequence[jnp.ndarray], config: StarkConfig, shift_pow: int = 0
+) -> List[CommittedMatrix]:
+    """Batched commit of same-height matrices (one device dispatch)."""
+    if len(evals_list) == 1:
+        return [commit(evals_list[0], config, shift_pow=shift_pow)]
+    shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+    results = _commit_impl_many(tuple(evals_list), config.log_blowup, shift)
+    out = []
+    for evals, (lde, layers) in zip(evals_list, results):
+        tree = merkle.MerkleTree(list(layers))
+        out.append(
+            CommittedMatrix(
+                evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root),
+                shift_pow=shift_pow,
+            )
+        )
+    return out
+
+
+def commit_round(entries, config: StarkConfig, commit_fn=None) -> List[Optional[CommittedMatrix]]:
+    """Commit a whole round: entries are (evals | None, shift_pow) pairs.
+    With the default PCS, same-(height, shift) entries batch into one
+    dispatch; a custom commit_fn (e.g. the mesh-sharded prover's) falls
+    back to per-matrix commits."""
+    out: List[Optional[CommittedMatrix]] = [None] * len(entries)
+    if commit_fn is not None and commit_fn is not commit:
+        for i, (evals, sp) in enumerate(entries):
+            if evals is not None:
+                out[i] = commit_fn(evals, config, shift_pow=sp)
+        return out
+    groups: Dict[Tuple[int, int], List[int]] = {}
+    for i, (evals, sp) in enumerate(entries):
+        if evals is not None:
+            groups.setdefault((evals.shape[0], sp), []).append(i)
+    for (n, sp), idxs in groups.items():
+        cms = commit_group([entries[i][0] for i in idxs], config, shift_pow=sp)
+        for i, cm in zip(idxs, cms):
+            out[i] = cm
+    return out
+
+
 # -- barycentric evaluation on device ----------------------------------------
 
 

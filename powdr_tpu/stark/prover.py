@@ -345,20 +345,30 @@ def prove(
             if cm is not None:
                 challenger.observe_digest(cm.root)
 
+    batched_fn = commit_fn if commit_fn is not pcs.commit else None
+
     # round 0: preprocessed (vk) commitments
-    pres: List[Optional[pcs.CommittedMatrix]] = []
-    for (a, t), sp in zip(chips, shift_pows):
-        if a.preprocessed is not None:
-            pm = bb.to_mont(jnp.asarray(a.preprocessed.astype(np.uint32)))
-            pres.append(commit_fn(pm, config, shift_pow=sp))
-        else:
-            pres.append(None)
+    pres = pcs.commit_round(
+        [
+            (
+                bb.to_mont(jnp.asarray(a.preprocessed.astype(np.uint32)))
+                if a.preprocessed is not None
+                else None,
+                sp,
+            )
+            for (a, t), sp in zip(chips, shift_pows)
+        ],
+        config,
+        commit_fn=batched_fn,
+    )
     observe_roots(pres)
 
-    # round 1: main commitments
-    mains = []
-    for (a, t), sp in zip(chips, shift_pows):
-        mains.append(commit_fn(t, config, shift_pow=sp))
+    # round 1: main commitments (same-height chips batch into one dispatch)
+    mains = pcs.commit_round(
+        [(t, sp) for (a, t), sp in zip(chips, shift_pows)],
+        config,
+        commit_fn=batched_fn,
+    )
     observe_roots(mains)
 
     alpha = challenger.sample_ext()
@@ -366,10 +376,10 @@ def prove(
 
     # round 2: permutation traces (commit all, then one fetch for
     # roots + totals — transcript order per chip is root, total)
-    perms: List[Optional[pcs.CommittedMatrix]] = []
     groups_per_chip: List[List[List[int]]] = []
     totals: List[Optional[ExtVal]] = []
     total_devs = []
+    perm_entries = []
     for (a, t), sp, pre_cm in zip(chips, shift_pows, pres):
         if a.interactions:
             groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
@@ -378,14 +388,15 @@ def prove(
                 pre_trace=pre_cm.evals if pre_cm is not None else None,
                 defer_total=True,
             )
-            perms.append(commit_fn(perm, config, shift_pow=sp))
+            perm_entries.append((perm, sp))
             groups_per_chip.append(groups)
             total_devs.append(total)
             totals.append(None)
         else:
-            perms.append(None)
+            perm_entries.append((None, sp))
             groups_per_chip.append([])
             totals.append((0, 0, 0, 0))
+    perms = pcs.commit_round(perm_entries, config, commit_fn=batched_fn)
     live = [cm for cm in perms if cm is not None]
     fetched = jax.device_get([[cm.root for cm in live], total_devs])
     for cm, r in zip(live, fetched[0]):
@@ -400,8 +411,8 @@ def prove(
 
     alpha_q = challenger.sample_ext()
 
-    # round 3: quotients
-    quotients = []
+    # round 3: quotients (compute all, then one batched commit round)
+    q_entries = []
     for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm, pub in zip(
         chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows, pres, publics
     ):
@@ -423,7 +434,8 @@ def prove(
             lde_pre=pre_cm.lde if pre_cm is not None else None,
             publics=pub,
         )
-        quotients.append(commit_fn(qm, config, shift_pow=sp))
+        q_entries.append((qm, sp))
+    quotients = pcs.commit_round(q_entries, config, commit_fn=batched_fn)
     observe_roots(quotients)
 
     zeta = challenger.sample_ext()
