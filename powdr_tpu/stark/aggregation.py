@@ -38,6 +38,7 @@ from .tape import (
     CONST,
     EQ,
     MUL,
+    MULADD,
     N_KINDS,
     PUBLIC,
     SELECT,
@@ -100,6 +101,7 @@ def build_alu_air(n_publics: int) -> Air:
         cons.append(ir.Mul(sel[EQ], ir.Sub(A[k], B[k])))
     for k, mk in enumerate(_ext_mul_exprs(A, B)):
         cons.append(ir.Mul(sel[MUL], ir.Sub(O[k], mk)))
+        cons.append(ir.Mul(sel[MULADD], ir.Sub(O[k], ir.Add(mk, C[k]))))
     for k in range(4):
         cons.append(
             ir.Mul(
@@ -271,6 +273,8 @@ def _pad_pow2(n: int) -> int:
 def _fanouts(t: Tape) -> np.ndarray:
     fan = np.zeros(len(t.vals), dtype=np.int64)
     for op in t.alu:
+        if op.kind == WITNESS:
+            continue  # a/b/c slots are extra OUTPUTS on witness rows
         for wid, used in ((op.a, True), (op.b, True), (op.c, True)):
             if wid >= 0:
                 fan[wid] += 1
@@ -311,6 +315,13 @@ def build_alu_trace(t: Tape, fan: np.ndarray) -> Tuple[np.ndarray, np.ndarray, L
     pre[r[cw >= 0], USE_C] = 1
     mask = ow >= 0
     pre[r[mask], FANOUT] = fan[ow[mask]].astype(np.uint32)
+    # witness rows: a/b/c are extra outputs — the receive interaction with
+    # multiplicity -(fanout) IS a send of multiplicity fanout on the bus
+    wit = kinds == WITNESS
+    for col, wids in ((USE_A, aw), (USE_B, bw), (USE_C, cw)):
+        m = wit & (wids >= 0)
+        f = fan[wids[m]]
+        pre[r[m], col] = np.where(f > 0, (P - f) % P, 0).astype(np.uint32)
     for i, op in enumerate(t.alu):
         if op.kind == CONST:
             pre[i, CV0 : CV0 + 4] = np.asarray(op.cval, dtype=np.uint32)

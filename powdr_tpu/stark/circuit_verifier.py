@@ -103,14 +103,14 @@ class TapeChallenger:
 
 def _witness_ext(t: Tape, ch: TapeChallenger, val) -> int:
     """4 base witness wires absorbed into the transcript, assembled."""
-    comps = [t.witness(int(c)) for c in val]
+    comps = t.witness_many([int(c) for c in val])
     ch.observe_wires(comps)
     return t.assemble_ext(comps)
 
 
 def _witness_digest(t: Tape, ch: TapeChallenger, digest_mont: np.ndarray) -> List[int]:
     lanes = bb.np_from_mont(np.asarray(digest_mont, dtype=np.uint32))
-    ws = [t.witness(int(v)) for v in lanes]
+    ws = t.witness_many([int(v) for v in lanes])
     ch.observe_wires(ws)
     return ws
 
@@ -364,14 +364,14 @@ def verify_on_tape(
         for m_idx, mq in enumerate(pq.per_matrix):
             lN = log_Ns[m_idx]
             nbits = lN - 1
-            lo_w = [t.witness(int(v)) for v in mq.row_lo]
-            hi_w = [t.witness(int(v)) for v in mq.row_hi]
+            lo_w = t.witness_many([int(v) for v in mq.row_lo])
+            hi_w = t.witness_many([int(v) for v in mq.row_hi])
             d_lo = _hash_row(t, lo_w)
             d_hi = _hash_row(t, hi_w)
             root_w = mat_roots_w[m_idx]
             assert len(mq.path_lo) == lN and len(mq.path_hi) == lN, "bad path depth"
-            sibs_lo = [[t.witness(int(v)) for v in bb.np_from_mont(l)] for l in mq.path_lo]
-            sibs_hi = [[t.witness(int(v)) for v in bb.np_from_mont(l)] for l in mq.path_hi]
+            sibs_lo = [t.witness_many([int(v) for v in bb.np_from_mont(l)]) for l in mq.path_lo]
+            sibs_hi = [t.witness_many([int(v) for v in bb.np_from_mont(l)]) for l in mq.path_hi]
             pbits = list(qbits[:nbits])
             _verify_path(t, d_lo, pbits + ["lo"], sibs_lo, root_w)
             _verify_path(t, d_hi, pbits + ["hi"], sibs_hi, root_w)
@@ -403,11 +403,11 @@ def verify_on_tape(
         cur_log = log_n_top
         shift_pow = 0
         for l, (layer, (beta_w, _)) in enumerate(zip(fq.layers, betas)):
-            pair_w = [t.witness(int(v)) for v in layer.pair.reshape(-1)]
+            pair_w = t.witness_many([int(v) for v in layer.pair.reshape(-1)])
             digest = _hash_row(t, pair_w)
             nbits = cur_log - 1
             assert len(layer.path) == nbits, "bad fri path depth"
-            sibs = [[t.witness(int(v)) for v in bb.np_from_mont(p)] for p in layer.path]
+            sibs = [t.witness_many([int(v) for v in bb.np_from_mont(p)]) for p in layer.path]
             _verify_path(t, digest, list(qbits[:nbits]), sibs, betas[l][1])
             lo = t.assemble_ext(pair_w[:4])
             hi = t.assemble_ext(pair_w[4:])

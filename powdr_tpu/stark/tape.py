@@ -39,8 +39,9 @@ SELECT = 5  # out = c + a0*(b - c): a is a bit wire, b = taken, c = not-taken
 BIT = 6  # out0 boolean witness, out1..3 == 0
 EQ = 7  # assert a == b (no output)
 PUBLIC = 8  # assert a == publics[pub_index] (base-valued wire)
+MULADD = 9  # out = a*b + c (fused: halves the dot-product / Horner rows)
 
-N_KINDS = 9
+N_KINDS = 10
 
 P = bb.P
 
@@ -102,6 +103,26 @@ class Tape:
         self.alu.append(AluOp(WITNESS, out=w))
         return w
 
+    def witness_many(self, vs: Sequence) -> List[int]:
+        """Witness wires packed 4 per row: a WITNESS row has no
+        constraints, so the a/b/c operand slots double as extra outputs
+        (their receive interactions flip into sends via negative
+        preprocessed multiplicities — see aggregation.build_alu_trace)."""
+        out: List[int] = []
+        vals = [_as_ext(v) for v in vs]
+        for i in range(0, len(vals), 4):
+            chunk = [self._new(v) for v in vals[i : i + 4]]
+            op = AluOp(WITNESS, out=chunk[0])
+            if len(chunk) > 1:
+                op.a = chunk[1]
+            if len(chunk) > 2:
+                op.b = chunk[2]
+            if len(chunk) > 3:
+                op.c = chunk[3]
+            self.alu.append(op)
+            out.extend(chunk)
+        return out
+
     def bit(self, b: int) -> int:
         assert b in (0, 1)
         w = self._new((b, 0, 0, 0))
@@ -127,6 +148,13 @@ class Tape:
     def mul(self, a: int, b: int) -> int:
         out = self._new(ext.py_mul(self.vals[a], self.vals[b]))
         self.alu.append(AluOp(MUL, out=out, a=a, b=b))
+        return out
+
+    def muladd(self, a: int, b: int, c: int) -> int:
+        """out = a*b + c in one row."""
+        prod = ext.py_mul(self.vals[a], self.vals[b])
+        out = self._new(tuple((x + y) % P for x, y in zip(prod, self.vals[c])))
+        self.alu.append(AluOp(MULADD, out=out, a=a, b=b, c=c))
         return out
 
     def select(self, bit_w: int, taken: int, not_taken: int) -> int:
@@ -172,11 +200,10 @@ class Tape:
         return self.add(a, self.const(c))
 
     def dot(self, pairs: Sequence[Tuple[int, int]]) -> int:
-        """sum of products over (wire, wire) pairs."""
+        """sum of products over (wire, wire) pairs (fused mul-adds)."""
         acc = None
         for x, y in pairs:
-            t = self.mul(x, y)
-            acc = t if acc is None else self.add(acc, t)
+            acc = self.mul(x, y) if acc is None else self.muladd(x, y, acc)
         return acc if acc is not None else self.const(0)
 
     def sum(self, wires: Sequence[int]) -> int:
@@ -206,7 +233,7 @@ class Tape:
         acc = comps[0]
         for k in range(1, 4):
             basis = tuple(1 if i == k else 0 for i in range(4))
-            acc = self.add(acc, self.mul_const(comps[k], basis))
+            acc = self.muladd(comps[k], self.const(basis), acc)
         return acc
 
     def decompose(self, a: int, nbits: int = 31) -> List[int]:
@@ -220,16 +247,16 @@ class Tape:
         v = self.vals[a][0]
         assert self.vals[a][1:] == (0, 0, 0)
         bits = [self.bit((v >> i) & 1) for i in range(nbits)]
-        # recomposition: a == sum b_i 2^i
+        # recomposition: a == sum b_i 2^i (fused mul-adds)
         acc = bits[0]
         for i in range(1, nbits):
-            acc = self.add(acc, self.mul_const(bits[i], 1 << i))
+            acc = self.muladd(bits[i], self.const(1 << i), acc)
         self.eq(acc, a)
         if nbits == 31:
             top = self.mul(self.mul(bits[27], bits[28]), self.mul(bits[29], bits[30]))
             low = bits[0]
             for i in range(1, 27):
-                low = self.add(low, self.mul_const(bits[i], 1 << i))
+                low = self.muladd(bits[i], self.const(1 << i), low)
             self.assert_zero(self.mul(top, low))
         return bits
 
