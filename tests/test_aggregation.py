@@ -169,3 +169,32 @@ def test_vm_proof_aggregation():
     finally:
         isa.USE_BITWISE_FOR_BYTE_RANGE, isa.DT_BITS, system.MAX_RANGE_BITS = saved
         machines.rebuild_registry()
+
+
+@pytest.mark.slow
+def test_two_level_recursion():
+    """Wrap: the aggregation proof itself verifies in-circuit (leaf ->
+    internal aggregation, openvm-native-recursion's tree step).  The wrap
+    circuit's publics pass the app proof's roots through the leaf layer —
+    the chain of custody an aggregation tree needs."""
+    air, trace = _fib()
+    app = prover.prove([(air, trace)], CFG, Challenger())
+    t1 = Tape()
+    verify_on_tape(t1, [air], app, CFG)
+    leaf = compile_tape(t1)
+    agg1 = prover.prove(
+        list(zip(leaf.airs, leaf.traces)), CFG, Challenger(), publics=leaf.publics
+    )
+    verifier.verify(leaf.airs, agg1, CFG, Challenger())
+
+    t2 = Tape()
+    verify_on_tape(t2, leaf.airs, agg1, CFG)
+    wrap = compile_tape(t2)
+    mock_check_airs(wrap.airs, wrap.traces, wrap.publics)
+    # wrap publics: [alu_root(8), alu publics(= leaf publics), p2_root(8)];
+    # the leaf publics are the app proof's main root — custody chain holds
+    assert wrap.publics[0][8 : 8 + len(leaf.publics[0])] == leaf.publics[0]
+    app_root = [
+        int(v) for v in bb.np_from_mont(np.asarray(app.chips[0].main_root, np.uint32))
+    ]
+    assert leaf.publics[0][:8] == app_root
