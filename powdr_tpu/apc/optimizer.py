@@ -985,38 +985,42 @@ def batch_range_checks(state: OptimizerState, bus_map, bound: DegreeBound) -> No
         if isinstance(btype, tuple) and btype[0] == "TupleRangeChecker":
             tup_sizes = btype[1]
 
-    order: List[Tuple] = []  # expr keys in first-seen order
-    required: Dict[Tuple, Tuple[GE, RangeConstraint]] = {}
+    # pure range checks grouped by MULTIPLICITY (a guarded check only
+    # enforces where its guard is nonzero, so only same-guard checks may
+    # batch together; APC systems guard everything with is_valid)
+    groups: Dict[Tuple, Dict] = {}  # mult key -> {mult, order, required}
     kept: List[BusInteractionGE] = []
 
-    def require(e: GE, rc: RangeConstraint):
+    def require(mult: GE, e: GE, rc: RangeConstraint):
+        g = groups.setdefault(mult.key(), {"mult": mult, "order": [], "required": {}})
         k = e.key()
-        if k in required:
-            required[k] = (e, required[k][1].conjunction(rc))
+        if k in g["required"]:
+            g["required"][k] = (e, g["required"][k][1].conjunction(rc))
         else:
-            required[k] = (e, rc)
-            order.append(k)
+            g["required"][k] = (e, rc)
+            g["order"].append(k)
 
     for b in state.system.bus_interactions:
-        if b.mult.try_to_constant() != 1:
-            kept.append(b)
+        mc = b.mult.try_to_constant()
+        if mc is not None and mc != 1:
+            kept.append(b)  # negative mults are table sides, not checks
             continue
         if b.id == vrc_id and len(b.args) == 2:
             bits = b.args[1].try_to_constant()
             if bits is not None and bits <= 30:
-                require(b.args[0], RangeConstraint.from_mask((1 << bits) - 1))
+                require(b.mult, b.args[0], RangeConstraint.from_mask((1 << bits) - 1))
                 continue
         elif b.id == bw_id and len(b.args) == 4:
             if b.args[3].try_to_constant() == 0 and b.args[2].try_to_constant() == 0:
-                require(b.args[0], RangeConstraint.from_mask(255))
-                require(b.args[1], RangeConstraint.from_mask(255))
+                require(b.mult, b.args[0], RangeConstraint.from_mask(255))
+                require(b.mult, b.args[1], RangeConstraint.from_mask(255))
                 continue
         elif b.id == tup_id and len(b.args) == 2:
-            require(b.args[0], RangeConstraint.from_mask(tup_sizes[0] - 1))
-            require(b.args[1], RangeConstraint.from_mask(tup_sizes[1] - 1))
+            require(b.mult, b.args[0], RangeConstraint.from_mask(tup_sizes[0] - 1))
+            require(b.mult, b.args[1], RangeConstraint.from_mask(tup_sizes[1] - 1))
             continue
         kept.append(b)
-    if not required:
+    if not groups:
         return
     state.system.bus_interactions = kept
 
@@ -1042,54 +1046,64 @@ def batch_range_checks(state: OptimizerState, bus_map, bound: DegreeBound) -> No
                 cur = remaining_ranges.get(sv, RangeConstraint.default())
                 remaining_ranges[sv] = cur.conjunction(RangeConstraint(0, 1, 1))
 
-    to_emit: List[Tuple[GE, RangeConstraint, int]] = []
-    new_cons: List[GE] = []
-    for k in order:
-        e, rc = required[k]
-        cur = rc_of_expr(e, remaining_ranges)
-        if cur.conjunction(rc) == cur:
-            continue  # already implied
-        bits = _pow2_mask_bits(rc)
-        if bits is None:
-            # shouldn't happen (all sources are pow2 masks); keep exact check
-            to_emit.append((e, rc, 31))
-            continue
-        if bits == 1 and 2 * max(e.degree(), 1) <= bound.identities:
-            new_cons.append((e * (e - GE.from_const(1))).normalized())
-            continue
-        to_emit.append((e, rc, bits))
-    state.system.constraints.extend(new_cons)
-
-    one = GE.from_const(1)
     byte_bits = (tup_sizes[0] - 1).bit_length()
     second_bits = (tup_sizes[1] - 1).bit_length()
-    bytes_ = [e for e, rc, bits in to_emit if bits == byte_bits]
-    seconds = [e for e, rc, bits in to_emit if bits == second_bits] if tup_id is not None else []
-    others = [
-        (e, bits)
-        for e, rc, bits in to_emit
-        if bits != byte_bits and not (tup_id is not None and bits == second_bits)
-    ]
-    n_tup = min(len(seconds), len(bytes_)) if tup_id is not None else 0
+    new_cons: List[GE] = []
     out: List[BusInteractionGE] = []
-    for i in range(n_tup):
-        out.append(BusInteractionGE(id=tup_id, mult=one, args=[bytes_[i], seconds[i]]))
-    for e in seconds[n_tup:]:
-        out.append(
-            BusInteractionGE(id=vrc_id, mult=one, args=[e, GE.from_const(second_bits)])
+    for g in groups.values():
+        mult: GE = g["mult"]
+        is_one = mult.try_to_constant() == 1
+        mult_deg = 0 if is_one else mult.degree()
+        to_emit: List[Tuple[GE, RangeConstraint, int]] = []
+        for k in g["order"]:
+            e, rc = g["required"][k]
+            cur = rc_of_expr(e, remaining_ranges)
+            if cur.conjunction(rc) == cur:
+                continue  # already implied for every row
+            bits = _pow2_mask_bits(rc)
+            if bits is None:
+                # shouldn't happen (all sources are pow2 masks); keep exact check
+                to_emit.append((e, rc, 31))
+                continue
+            if bits == 1 and 2 * max(e.degree(), 1) + mult_deg <= bound.identities:
+                sq = (e * (e - GE.from_const(1))).normalized()
+                new_cons.append(sq if is_one else (mult * sq).normalized())
+                continue
+            to_emit.append((e, rc, bits))
+
+        bytes_ = [e for e, rc, bits in to_emit if bits == byte_bits]
+        seconds = (
+            [e for e, rc, bits in to_emit if bits == second_bits]
+            if tup_id is not None
+            else []
         )
-    rest_bytes = bytes_[n_tup:]
-    if bw_id is not None:
-        zero = GE.from_const(0)
-        for i in range(0, len(rest_bytes), 2):
-            b1 = rest_bytes[i]
-            b2 = rest_bytes[i + 1] if i + 1 < len(rest_bytes) else zero
-            out.append(BusInteractionGE(id=bw_id, mult=one, args=[b1, b2, zero, zero]))
-    else:
-        for e in rest_bytes:
-            out.append(BusInteractionGE(id=vrc_id, mult=one, args=[e, GE.from_const(8)]))
-    for e, bits in others:
-        out.append(BusInteractionGE(id=vrc_id, mult=one, args=[e, GE.from_const(bits)]))
+        others = [
+            (e, bits)
+            for e, rc, bits in to_emit
+            if bits != byte_bits and not (tup_id is not None and bits == second_bits)
+        ]
+        n_tup = min(len(seconds), len(bytes_)) if tup_id is not None else 0
+        for i in range(n_tup):
+            out.append(BusInteractionGE(id=tup_id, mult=mult, args=[bytes_[i], seconds[i]]))
+        for e in seconds[n_tup:]:
+            out.append(
+                BusInteractionGE(id=vrc_id, mult=mult, args=[e, GE.from_const(second_bits)])
+            )
+        rest_bytes = bytes_[n_tup:]
+        if bw_id is not None:
+            zero = GE.from_const(0)
+            for i in range(0, len(rest_bytes), 2):
+                b1 = rest_bytes[i]
+                b2 = rest_bytes[i + 1] if i + 1 < len(rest_bytes) else zero
+                out.append(BusInteractionGE(id=bw_id, mult=mult, args=[b1, b2, zero, zero]))
+        else:
+            for e in rest_bytes:
+                out.append(BusInteractionGE(id=vrc_id, mult=mult, args=[e, GE.from_const(8)]))
+        # NOTE: sub-byte checks cannot ride the byte table by scaling
+        # (x*2^(8-k) wraps mod p for adversarial x) — they stay exact
+        for e, bits in others:
+            out.append(BusInteractionGE(id=vrc_id, mult=mult, args=[e, GE.from_const(bits)]))
+    state.system.constraints.extend(new_cons)
     state.system.bus_interactions.extend(out)
 
 
