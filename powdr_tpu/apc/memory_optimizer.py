@@ -135,6 +135,29 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
     idx_sys = IndexedSystem(sys)
     canoniser = _AddrCanon(sys.constraints)
 
+    # interval-based aliasing fallback: two addresses are provably
+    # different when their difference excludes 0 under the solver's range
+    # knowledge (the reference gets this from
+    # are_expressions_known_to_be_different's range arithmetic)
+    from .optimizer import affine_value_excluded
+    from ..solver.range_constraint import RangeConstraint
+
+    _excl_ranges = dict(state.bus_ranges)
+    _bool_rc = RangeConstraint(0, 1, 1)
+    _excl_cache: Dict[tuple, bool] = {}
+
+    def _range_distinct(a: GE, b: GE) -> bool:
+        d = (a - b).normalized()
+        key = d.key()
+        hit = _excl_cache.get(key)
+        if hit is None:
+            for v in d.linear:
+                if v < 0 and v not in _excl_ranges:
+                    _excl_ranges[v] = _bool_rc  # carry pseudo-vars are bits
+            hit = affine_value_excluded(d, [0], _excl_ranges)
+            _excl_cache[key] = hit
+        return hit
+
     def parse(i) -> Optional[_Access]:
         b = sys.bus_interactions[i]
         if len(b.args) < 3:
@@ -177,7 +200,9 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
         if a.space == b.space and a.base_key == b.base_key and a.offset != b.offset:
             return True
         if a.canon is not None and b.canon is not None:
-            return _AddrCanon.provably_different(a.canon, b.canon)
+            if _AddrCanon.provably_different(a.canon, b.canon):
+                return True
+            return _range_distinct(a.canon, b.canon)
         return False
 
     mem_slots = [i for i, b in enumerate(sys.bus_interactions) if b.id == memory_bus_id]
