@@ -79,6 +79,29 @@ def _pair_leaves(cw: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([cw[:h], cw[h:]], axis=-1)
 
 
+@jax.jit
+def _commit_layer(cw: jnp.ndarray):
+    """Leaf pairing + hashing + every Merkle level, one dispatch."""
+    return merkle._build_layers.__wrapped__(
+        p2.hash_rows.__wrapped__(_pair_leaves.__wrapped__(cw))
+    )
+
+
+def _fold_join(cw, beta_m, inv2x, join):
+    nxt = _fold_codeword(cw, beta_m, inv2x)
+    return ext.add(nxt, join) if join is not None else nxt
+
+
+@jax.jit
+def _fold_join_commit(cw, beta_m, inv2x, join):
+    """Fold, optionally add the joining codeword, and commit the next
+    layer — the whole inter-transcript step as one program."""
+    nxt = _fold_codeword.__wrapped__(cw, beta_m, inv2x)
+    if join is not None:
+        nxt = ext.add(nxt, join)
+    return nxt, _commit_layer.__wrapped__(nxt)
+
+
 # -- proof containers --------------------------------------------------------
 
 
@@ -133,12 +156,9 @@ def prove(
     cw = codeword[log_n]
     shift_pow = log_shift_pow
     cur_log = log_n
+    pending = _commit_layer(cw)
     while cw.shape[0] > stop_n:
-        if cur_log != log_n and cur_log in codeword:
-            from ..field import ext as _ext
-
-            cw = _ext.add(cw, codeword[cur_log])
-        tree = merkle.build(p2.hash_rows(_pair_leaves(cw)))
+        tree = merkle.MerkleTree(list(pending))
         root = np.asarray(tree.root)
         roots.append(root)
         challenger.observe_digest(root)
@@ -147,7 +167,13 @@ def prove(
         shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
         inv2x = jnp.asarray(_fold_inv2x_table(cur_log, shift))
         layers.append((cw, tree))
-        cw = _fold_codeword(cw, beta_m, inv2x)
+        # fold + (join) + next layer's whole Merkle commit in ONE dispatch:
+        # the transcript forces a fetch per layer, but not two dispatches
+        join = codeword.get(cur_log - 1)
+        if (1 << (cur_log - 1)) > stop_n:
+            cw, pending = _fold_join_commit(cw, beta_m, inv2x, join)
+        else:
+            cw = _fold_join(cw, beta_m, inv2x, join)
         shift_pow += 1
         cur_log -= 1
 
