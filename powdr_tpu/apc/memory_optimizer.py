@@ -152,8 +152,10 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
         hit = _excl_cache.get(key)
         if hit is None:
             for v in d.linear:
-                if v < 0 and v not in _excl_ranges:
-                    _excl_ranges[v] = _bool_rc  # carry pseudo-vars are bits
+                # only _AddrCanon's pseudo ids are known bits; other
+                # negative ids must NOT be assumed boolean
+                if v <= _AddrCanon._PSEUDO_BASE and v not in _excl_ranges:
+                    _excl_ranges[v] = _bool_rc
             hit = affine_value_excluded(d, [0], _excl_ranges)
             _excl_cache[key] = hit
         return hit

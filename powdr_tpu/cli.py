@@ -114,8 +114,8 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
         "select-apcs", guest=args.guest, program=_program_hash(program), apcs=args.apcs,
         superblocks=args.superblocks, optimistic=args.optimistic,
     )
-    apcs = cache.load("select-apcs", key)
-    if apcs is None or args.no_cache:
+    cached = cache.load("select-apcs", key)
+    if cached is None or args.no_cache:
         t0 = time.time()
         cands = generate_candidates(
             program, result, superblocks=args.superblocks, optimistic=args.optimistic
@@ -130,13 +130,10 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
                 f"saves {c.cells_saved} cells"
             )
         print(f"selected {len(apcs)} APCs in {time.time()-t0:.2f}s")
-        cache.store("select-apcs", key, apcs)
-        if args.apc_stats_json:
-            from .utils.report_html import apc_stats_from
+        from .utils.report_html import apc_stats_from
 
-            with open(args.apc_stats_json, "w") as f:
-                json.dump(apc_stats_from(cands[: args.apcs]), f, indent=1)
-            print(f"apc stats written to {args.apc_stats_json}")
+        stats = apc_stats_from(cands[: args.apcs])
+        cache.store("select-apcs", key, {"apcs": apcs, "stats": stats})
         if args.apc_export_dir:
             from .vm.apc import export_apc
 
@@ -146,7 +143,15 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
                 export_apc(a, path)
                 print(f"  exported {path}")
     else:
+        # stats ride the cache so --apc-stats-json works on cache hits
+        # (older caches stored the bare APC list)
+        apcs = cached["apcs"] if isinstance(cached, dict) else cached
+        stats = cached.get("stats", []) if isinstance(cached, dict) else []
         print(f"select-apcs: cache hit ({len(apcs)} APCs)")
+    if args.apc_stats_json:
+        with open(args.apc_stats_json, "w") as f:
+            json.dump(stats, f, indent=1)
+        print(f"apc stats written to {args.apc_stats_json}")
     return apcs
 
 

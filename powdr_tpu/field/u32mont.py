@@ -35,6 +35,13 @@ class U32Field:
     generator: int
     two_adicity: int
 
+    def __post_init__(self):
+        # mont_mul's single conditional subtraction needs t_hi + mp_hi +
+        # carry < 2^32, which holds iff p < 2^31 (both shipped fields are)
+        assert self.p % 2 == 1 and self.p < (1 << 31), (
+            f"{self.name}: u32 Montgomery recipe requires an odd p < 2^31"
+        )
+
     # -- derived Montgomery constants (R = 2^32) ----------------------------
 
     @functools.cached_property

@@ -156,7 +156,7 @@ def prove(
     cw = codeword[log_n]
     shift_pow = log_shift_pow
     cur_log = log_n
-    pending = _commit_layer(cw)
+    pending = _commit_layer(cw) if cw.shape[0] > stop_n else None
     while cw.shape[0] > stop_n:
         tree = merkle.MerkleTree(list(pending))
         root = np.asarray(tree.root)

@@ -34,4 +34,12 @@ def setup(airs: Sequence[Air], log_ns: Sequence[int], config: StarkConfig) -> Ve
         pm = bb.to_mont(jnp.asarray(a.preprocessed.astype(np.uint32)))
         cm = pcs.commit(pm, config, shift_pow=log_n_max - ln)
         roots.append(cm.root)
+    # one fetch for all roots (commit leaves them on device)
+    import jax
+
+    live = [i for i, r in enumerate(roots) if r is not None]
+    if live:
+        fetched = jax.device_get([roots[i] for i in live])
+        for i, r in zip(live, fetched):
+            roots[i] = np.asarray(r)
     return VerifyingKey(pre_roots=roots)

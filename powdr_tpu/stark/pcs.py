@@ -104,12 +104,16 @@ def _commit_impl(evals: jnp.ndarray, log_blowup: int, shift: int):
 
 
 def commit(evals: jnp.ndarray, config: StarkConfig, shift_pow: int = 0) -> CommittedMatrix:
-    """Commit to a matrix of column polynomials given by their evals on H."""
+    """Commit to a matrix of column polynomials given by their evals on H.
+
+    `root` is left as the DEVICE array: fetching here would serialize one
+    round trip per matrix; the prover batches the round's root fetches
+    (observe_roots), and standalone callers np.asarray() it themselves."""
     shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
     lde, layers = _commit_impl(evals, config.log_blowup, shift)
     tree = merkle.MerkleTree(list(layers))
     return CommittedMatrix(
-        evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root), shift_pow=shift_pow
+        evals=evals, lde=lde, tree=tree, root=tree.root, shift_pow=shift_pow
     )
 
 
@@ -139,7 +143,7 @@ def commit_group(
         tree = merkle.MerkleTree(list(layers))
         out.append(
             CommittedMatrix(
-                evals=evals, lde=lde, tree=tree, root=np.asarray(tree.root),
+                evals=evals, lde=lde, tree=tree, root=tree.root,
                 shift_pow=shift_pow,
             )
         )
@@ -205,9 +209,9 @@ def _eval_matrix_at_many(evals, z_ms, s_ms, pts):
     return jax.vmap(lambda z, s: _eval_matrix_at(evals, z, s, pts))(z_ms, s_ms)
 
 
-def eval_at_points(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> List[np.ndarray]:
-    """Claimed evaluations p_j(z) for each z, canonical (w, 4) each — one
-    device dispatch + one fetch for all points of the matrix."""
+def eval_at_points_device(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> jnp.ndarray:
+    """Claimed evaluations p_j(z) as an UNFETCHED (P, w, 4) canonical
+    device array — callers batch the fetch (one round trip per round)."""
     n = mat.n
     log_n = int(np.log2(n))
     n_inv = pow(n, bb.P - 2, bb.P)
@@ -219,7 +223,13 @@ def eval_at_points(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> List[np.ndarra
     z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
     s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
     pts = jnp.asarray(_subgroup_points(log_n))
-    out = np.asarray(bb.from_mont(_eval_matrix_at_many(mat.evals, z_ms, s_ms, pts)))
+    return bb.from_mont(_eval_matrix_at_many(mat.evals, z_ms, s_ms, pts))
+
+
+def eval_at_points(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> List[np.ndarray]:
+    """Claimed evaluations p_j(z) for each z, canonical (w, 4) each — one
+    device dispatch + one fetch for all points of the matrix."""
+    out = np.asarray(eval_at_points_device(mat, zs))
     return [out[i] for i in range(len(zs))]
 
 
@@ -262,7 +272,6 @@ def _reduced_codeword(ldes, a_ms, y_ms, z_ms, xs):
     loop cost 2-3 round trips per (matrix, point)."""
     N = ldes[0].shape[0]
     acc = ext.zero((N,))
-    inv_cache = {}
     for lde, a_m, y_m, z_m in zip(ldes, a_ms, y_ms, z_ms):
         folded = _fold_columns.__wrapped__(lde, a_m)
         dinv = _inv_x_minus_z.__wrapped__(xs, z_m)  # same (xs, z): XLA CSEs
@@ -311,20 +320,7 @@ def open_matrices(
     # claimed evaluations -> transcript.  One dispatch per matrix (points
     # batched) and ONE fetch for everything: the tunneled device->host
     # link pays per round trip.
-    pending = []
-    for mat, zs in zip(mats, points):
-        n = mat.n
-        log_n = int(np.log2(n))
-        n_inv = pow(n, bb.P - 2, bb.P)
-        scalars = []
-        for z in zs:
-            zn = py_ext_pow(z, n)
-            scalar = py_ext_sub(zn, (1, 0, 0, 0))
-            scalars.append(tuple(v * n_inv % bb.P for v in scalar))
-        z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
-        s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
-        pts = jnp.asarray(_subgroup_points(log_n))
-        pending.append(bb.from_mont(_eval_matrix_at_many(mat.evals, z_ms, s_ms, pts)))
+    pending = [eval_at_points_device(mat, list(zs)) for mat, zs in zip(mats, points)]
     fetched_vals = jax.device_get(pending)
     values = [[np.asarray(v[i]) for i in range(v.shape[0])] for v in fetched_vals]
     for vals in values:

@@ -106,6 +106,8 @@ function loadFile(ev) {{
     render();
   }});
 }}
+const esc = v => String(v).replace(/[&<>"]/g,
+  ch => ({{"&": "&amp;", "<": "&lt;", ">": "&gt;", '"': "&quot;"}})[ch]);
 const tip = () => document.getElementById("tip");
 function showTip(ev, text) {{
   const t = tip(); t.textContent = text; t.style.display = "block";
@@ -133,12 +135,12 @@ function barChart(rows, series, fmt) {{
   }});
   rows.forEach((r, i) => {{
     const y0 = i * rowH;
-    s += `<text x="0" y="${{y0 + barH}}">${{r.label}}</text>`;
+    s += `<text x="0" y="${{y0 + barH}}">${{esc(r.label)}}</text>`;
     r.values.forEach((v, j) => {{
       const w = Math.max(v / maxV * barMax, 1);
       const y = y0 + j * (barH + gap);
       s += `<path d="${{barPath(labW, y, w, barH)}}" fill="var(--${{series[j].cssVar}})"` +
-           ` data-tip="${{r.label}} — ${{series[j].name}}: ${{fmt(v)}}"/>`;
+           ` data-tip="${{esc(r.label)}} — ${{esc(series[j].name)}}: ${{esc(fmt(v))}}"/>`;
       s += `<text class="muted" x="${{labW + w + 6}}" y="${{y + barH - 2}}">${{fmt(v)}}</text>`;
     }});
   }});
@@ -148,9 +150,9 @@ function barChart(rows, series, fmt) {{
 
 function table(cols, rows) {{
   let s = "<table><tr>" + cols.map((c, i) =>
-    `<th onclick="sortT(this, ${{i}})">${{c}}</th>`).join("") + "</tr>";
+    `<th onclick="sortT(this, ${{i}})">${{esc(c)}}</th>`).join("") + "</tr>";
   rows.forEach(r => {{
-    s += "<tr>" + r.map(v => `<td>${{v}}</td>`).join("") + "</tr>";
+    s += "<tr>" + r.map(v => `<td>${{esc(v)}}</td>`).join("") + "</tr>";
   }});
   return s + "</table>";
 }}
