@@ -79,7 +79,40 @@ def e2e_proof_metrics() -> dict:
     return out
 
 
+def _probe_backend(timeout_s: int = 600) -> bool:
+    """Initialize the JAX backend in a THROWAWAY subprocess first: a dead
+    TPU tunnel hangs inside the PJRT client C call, where no in-process
+    signal can interrupt it.  The probe's success also warms the remote
+    endpoint; on failure the bench reports an error line instead of
+    hanging the driver."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            capture_output=True,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main() -> None:
+    if not _probe_backend():
+        print(
+            json.dumps(
+                {
+                    "metric": f"babybear_ntt_2^{LOG_N}_elems_per_s",
+                    "value": 0.0,
+                    "unit": "elems/s",
+                    "vs_baseline": 0.0,
+                    "extra": {"error": "jax backend unreachable (tunnel down?)"},
+                }
+            )
+        )
+        return
+
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
