@@ -233,7 +233,18 @@ def main(argv=None):
         action="store_true",
         help="shrink periphery tables (CI-sized proving; see vm.isa)",
     )
+    ap.add_argument(
+        "--config",
+        default=None,
+        help="TOML config ([defaults] + [guest.<name>]; default "
+             "powdr_tpu.toml if present). Env POWDR_TPU_<KEY> overrides "
+             "the file; explicit CLI flags win (utils/config.py)",
+    )
     args = ap.parse_args(argv)
+    from .utils.config import apply_to_args, load_config
+
+    defaults = {a.dest: a.default for a in ap._actions}
+    apply_to_args(args, load_config(args.guest, path=args.config), defaults)
     _enable_jax_cache()
 
     if args.small_tables:

@@ -90,3 +90,40 @@ def test_apc_stats_from_candidates():
             "cells_saved": 99,
         }
     ]
+
+
+def test_layered_config(tmp_path):
+    """Config layering: file defaults < per-guest section < env vars
+    (reference's per-guest config + env knob surface)."""
+    from powdr_tpu.utils.config import apply_to_args, load_config
+
+    cfg = tmp_path / "powdr_tpu.toml"
+    cfg.write_text(
+        "[defaults]\nqueries = 9\npow_bits = 3\n"
+        "[guest.keccak]\napcs = 2\nsuperblocks = true\n"
+    )
+    out = load_config("keccak", path=str(cfg), env={})
+    assert out == {"queries": 9, "pow_bits": 3, "apcs": 2, "superblocks": True}
+    out = load_config("sha256", path=str(cfg), env={"POWDR_TPU_QUERIES": "4"})
+    assert out["queries"] == 4 and "apcs" not in out
+
+    class A:
+        queries = 20
+        apcs = 0
+
+    a = apply_to_args(A(), {"queries": 9, "apcs": 2}, {"queries": 20, "apcs": 0})
+    assert a.queries == 9 and a.apcs == 2
+    # explicit CLI value (differs from parser default) survives
+    class B:
+        queries = 7
+        apcs = 0
+
+    b = apply_to_args(B(), {"queries": 9}, {"queries": 20, "apcs": 0})
+    assert b.queries == 7
+
+    import pytest as _pytest
+
+    with _pytest.raises(KeyError):
+        bad = tmp_path / "bad.toml"
+        bad.write_text("[defaults]\nnope = 1\n")
+        load_config("x", path=str(bad), env={})
