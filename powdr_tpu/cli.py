@@ -187,7 +187,13 @@ def stage_prove(args, program, result, apcs):
             airs, proof = prove_chips(chips, cfg)
         with metrics.timer("verify_time_ms"):
             verify_chips(airs, proof, cfg)
-        print("STARK proof verified")
+        from .stark.serialize import proof_size_breakdown, proof_to_bytes
+
+        sizes = proof_size_breakdown(proof)
+        metrics.gauge("proof_bytes", len(proof_to_bytes(proof)))
+        for k, v in sizes.items():
+            metrics.gauge(f"proof_raw_{k}", v)
+        print(f"STARK proof verified ({sizes['total_raw']} raw bytes: {sizes})")
     metrics.gauge("instret", result.instret)
     metrics.gauge("num_apcs", len(apcs))
     if args.metrics_json:

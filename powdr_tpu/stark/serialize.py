@@ -57,6 +57,45 @@ def proof_to_bytes(proof: Proof) -> bytes:
     return buf.getvalue()
 
 
+def proof_size_breakdown(proof: Proof) -> dict:
+    """Raw bytes per proof component (before container compression) —
+    the size-accounting surface of the reference's proof artifacts
+    (ROADMAP: metrics + viewers consume this)."""
+    out = {
+        "commitments": 0,
+        "claimed_evals": 0,
+        "fri_layers": 0,
+        "fri_queries": 0,
+        "pcs_queries": 0,
+        "publics": 0,
+    }
+    for cp in proof.chips:
+        for r in (cp.main_root, cp.perm_root, cp.quotient_root, cp.pre_root):
+            if r is not None:
+                out["commitments"] += np.asarray(r).nbytes
+        out["commitments"] += 16  # logup_total (4 u32)
+    for pub in proof.publics or []:
+        out["publics"] += 4 * len(pub or [])
+    for vals in proof.pcs.values:
+        for v in vals:
+            out["claimed_evals"] += np.asarray(v).nbytes
+    fri = proof.pcs.fri
+    out["fri_layers"] += sum(np.asarray(r).nbytes for r in fri.layer_roots)
+    out["fri_layers"] += np.asarray(fri.final_poly).nbytes + 8
+    for q in fri.queries:
+        out["fri_queries"] += 8 + sum(
+            np.asarray(l.pair).nbytes + np.asarray(l.path).nbytes for l in q.layers
+        )
+    for pq in proof.pcs.queries:
+        for mq in pq.per_matrix:
+            out["pcs_queries"] += sum(
+                np.asarray(a).nbytes
+                for a in (mq.row_lo, mq.row_hi, mq.path_lo, mq.path_hi)
+            )
+    out["total_raw"] = sum(v for k, v in out.items())
+    return out
+
+
 def proof_from_bytes(data: bytes) -> Proof:
     z = np.load(io.BytesIO(data))
     keys = set(z.files)

@@ -127,3 +127,28 @@ def test_layered_config(tmp_path):
         bad = tmp_path / "bad.toml"
         bad.write_text("[defaults]\nnope = 1\n")
         load_config("x", path=str(bad), env={})
+
+
+def test_proof_size_breakdown():
+    """Per-component proof size accounting sums to the raw total and the
+    compressed container stays below it."""
+    import numpy as np
+    import jax.numpy as jnp
+    from powdr_tpu.field import babybear as bb
+    from powdr_tpu.ir import expression as ir
+    from powdr_tpu.stark import prover
+    from powdr_tpu.stark.air import Air
+    from powdr_tpu.stark.challenger import Challenger
+    from powdr_tpu.stark.config import StarkConfig
+    from powdr_tpu.stark.serialize import proof_size_breakdown, proof_to_bytes
+
+    cfg = StarkConfig(log_blowup=2, num_queries=2, proof_of_work_bits=1)
+    c0 = ir.Col(0)
+    air = Air(width=1, constraints=[ir.Mul(c0, ir.Sub(c0, ir.Const(1)))], name="bool")
+    trace = bb.to_mont(jnp.asarray(np.zeros((16, 1), dtype=np.uint32)))
+    proof = prover.prove([(air, trace)], cfg, Challenger())
+    sizes = proof_size_breakdown(proof)
+    parts = {k: v for k, v in sizes.items() if k != "total_raw"}
+    assert sizes["total_raw"] == sum(parts.values())
+    assert sizes["fri_queries"] > 0 and sizes["pcs_queries"] > 0
+    assert sizes["commitments"] > 0 and sizes["claimed_evals"] > 0
