@@ -237,9 +237,17 @@ def exhaustive_pass(
         for v, r in ranges.items()
         if r is not None and not r.is_wrapping() and r.range_size() <= 4
     }
+    seen_seeds: Set[Tuple[int, ...]] = set()
     for vs0, idx in by_vars:
         if not vs0 or len(vs0) > max_group_vars:
             continue
+        # identical seed var-sets close to identical groups: skip the
+        # closure loop for repeats (keccak has thousands of same-shape
+        # constraint families)
+        seed_key = tuple(sorted(vs0))
+        if seed_key in seen_seeds:
+            continue
+        seen_seeds.add(seed_key)
         # closure: pull in constraints (and range facts — the shift-marker
         # selection lives in a range check spanning two one-hot families)
         # that add a few small-range vars to the group; only multi-var

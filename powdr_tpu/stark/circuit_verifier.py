@@ -549,3 +549,46 @@ def aggregate(
     for i, (airs, proof) in enumerate(proof_sets):
         verify_on_tape(t, airs, proof, config, vk=vks[i] if vks else None)
     return compile_tape(t), t
+
+
+def aggregate_tree(
+    proof_sets: Sequence[Tuple[Sequence[Air], Proof]],
+    config: StarkConfig,
+    fanout: int = 2,
+    max_levels: int = 8,
+):
+    """Full aggregation tree (the reference's leaf -> internal -> root
+    chain, openvm-riscv/src/lib.rs:309-325): group `fanout` proofs per
+    aggregation circuit per level, prove each, and recurse until a single
+    root proof remains.  Every level's publics carry the level below's
+    publics (each chip's commitment roots + inherited publics), so the
+    root proof transitively binds every input proof's roots.
+
+    Returns (root_airs, root_proof, levels) where levels[i] is the list
+    of (airs, proof) pairs produced at level i (levels[-1] is the root)."""
+    from .challenger import Challenger
+    from . import prover as prover_mod
+
+    levels = []
+    cur = list(proof_sets)
+    for _ in range(max_levels):
+        if len(cur) == 1 and levels:
+            break
+        nxt = []
+        for i in range(0, len(cur), fanout):
+            circ, _t = aggregate(cur[i : i + fanout], config)
+            proof = prover_mod.prove(
+                list(zip(circ.airs, circ.traces)),
+                config,
+                Challenger(),
+                publics=circ.publics,
+            )
+            nxt.append((circ.airs, proof))
+        levels.append(nxt)
+        cur = nxt
+        if len(cur) == 1:
+            break
+    else:
+        raise RuntimeError("aggregation tree did not converge")
+    root_airs, root_proof = cur[0]
+    return root_airs, root_proof, levels

@@ -198,3 +198,28 @@ def test_two_level_recursion():
         int(v) for v in bb.np_from_mont(np.asarray(app.chips[0].main_root, np.uint32))
     ]
     assert leaf.publics[0][:8] == app_root
+
+
+@pytest.mark.slow
+def test_aggregation_tree_root():
+    """Full tree: two app proofs -> one leaf aggregation -> one root wrap
+    (fanout 2 then 1).  The root proof verifies and its publics
+    transitively bind both app proofs' roots through the leaf publics."""
+    from powdr_tpu.stark.circuit_verifier import aggregate_tree
+
+    air1, tr1 = _fib(32, shift=1)
+    air2, tr2 = _fib(32, shift=2)
+    p1 = prover.prove([(air1, tr1)], CFG, Challenger())
+    p2 = prover.prove([(air2, tr2)], CFG, Challenger())
+    root_airs, root_proof, levels = aggregate_tree(
+        [([air1], p1), ([air2], p2)], CFG, fanout=2
+    )
+    verifier.verify(root_airs, root_proof, CFG, Challenger())
+    assert len(levels) == 2 and len(levels[0]) == 1 and len(levels[1]) == 1
+    # root publics: [alu_root(8), alu publics(= leaf publics: both app
+    # roots), p2_root(8)] — check custody of both app roots
+    leaf_pub = levels[0][0][1].publics[0]
+    r1 = [int(v) for v in bb.np_from_mont(np.asarray(p1.chips[0].main_root, np.uint32))]
+    r2 = [int(v) for v in bb.np_from_mont(np.asarray(p2.chips[0].main_root, np.uint32))]
+    assert leaf_pub == r1 + r2
+    assert root_proof.publics[0][8 : 8 + len(leaf_pub)] == leaf_pub
