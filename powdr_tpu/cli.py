@@ -190,10 +190,20 @@ def stage_prove(args, program, result, apcs):
         from .stark.serialize import proof_size_breakdown, proof_to_bytes
 
         sizes = proof_size_breakdown(proof)
-        metrics.gauge("proof_bytes", len(proof_to_bytes(proof)))
+        blob = proof_to_bytes(proof)
+        metrics.gauge("proof_bytes", len(blob))
         for k, v in sizes.items():
             metrics.gauge(f"proof_raw_{k}", v)
-        print(f"STARK proof verified ({sizes['total_raw']} raw bytes: {sizes})")
+        out_path = args.proof_out or os.path.join(
+            args.artifacts_dir, "prove", f"{args.guest}.proof.npz"
+        )
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        with open(out_path, "wb") as f:
+            f.write(blob)
+        print(
+            f"STARK proof verified; {len(blob)} bytes -> {out_path} "
+            f"(raw: {sizes})"
+        )
     metrics.gauge("instret", result.instret)
     metrics.gauge("num_apcs", len(apcs))
     if args.metrics_json:
@@ -204,9 +214,17 @@ def stage_prove(args, program, result, apcs):
 
 def _enable_jax_cache():
     """Persistent XLA compile cache: on the tunneled TPU a cold full-VM
-    proof spends ~20 min in remote compiles; cached reruns skip all of it."""
+    proof spends ~20 min in remote compiles; cached reruns skip all of it.
+
+    Also honor JAX_PLATFORMS here: the container's sitecustomize pins
+    jax_platforms="axon,cpu" at interpreter boot, which silently overrides
+    the env var — so `JAX_PLATFORMS=cpu powdr_tpu ...` would still
+    initialize (and hang on a dead) TPU tunnel without this."""
     import jax
 
+    env_platforms = os.environ.get("JAX_PLATFORMS")
+    if env_platforms:
+        jax.config.update("jax_platforms", env_platforms)
     jax.config.update("jax_compilation_cache_dir", os.environ.get(
         "JAX_COMPILATION_CACHE_DIR", "/root/repo/.jax_cache"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
@@ -223,6 +241,9 @@ def main(argv=None):
     ap.add_argument("--pow-bits", type=int, default=4)
     ap.add_argument("--artifacts-dir", default=".powdr_artifacts")
     ap.add_argument("--metrics-json", default=None)
+    ap.add_argument("--proof-out", default=None,
+                    help="write the serialized proof here (default "
+                         "<artifacts-dir>/prove/<guest>.proof.npz)")
     ap.add_argument("--no-cache", action="store_true")
     ap.add_argument("--apc-stats-json", default=None,
                     help="write APC effectiveness stats (report_html input)")
