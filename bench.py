@@ -33,18 +33,17 @@ SHORT, LONG = 2, 18
 def e2e_proof_metrics() -> dict:
     """End-to-end proofs/min (reference metric surface:
     openvm-riscv/scripts/basic_metrics.py total_proof_time_ms and the
-    nightly guest-keccak config).  Proves the keccak-f guest's full VM
-    trace with the 100-bit-shaped TEST config and a small loop guest;
-    warm timing (one untimed run populates the persistent compile cache)."""
+    nightly guest-keccak config).  Proves the loop and keccak-f guests'
+    full VM traces at the DEFAULT ~100-bit security preset (the setting
+    the reference's nightly numbers use); warm timing after one untimed
+    run populates the persistent compile cache."""
     from powdr_tpu.cli import _guest
-    from powdr_tpu.stark.config import StarkConfig
+    from powdr_tpu.stark.config import DEFAULT as cfg
     from powdr_tpu.vm.executor import Executor
     from powdr_tpu.vm.prove import prove_chips, verify_chips
     from powdr_tpu.vm.system import build_chips
 
     import signal
-
-    cfg = StarkConfig(log_blowup=2, num_queries=20, proof_of_work_bits=4)
     out = {}
     budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "1500"))
 
