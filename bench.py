@@ -78,23 +78,28 @@ def e2e_proof_metrics() -> dict:
     return out
 
 
-def _probe_backend(timeout_s: int = 600) -> bool:
+def _probe_backend(timeout_s: int = 300, attempts: int = 5) -> bool:
     """Initialize the JAX backend in a THROWAWAY subprocess first: a dead
     TPU tunnel hangs inside the PJRT client C call, where no in-process
-    signal can interrupt it.  The probe's success also warms the remote
-    endpoint; on failure the bench reports an error line instead of
-    hanging the driver."""
+    signal can interrupt it.  The tunnel flaps with recovery windows, so
+    retry a few times; on persistent failure the bench reports an error
+    line instead of hanging the driver."""
     import subprocess
 
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            capture_output=True,
-        )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=timeout_s,
+                capture_output=True,
+            )
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(60)
+    return False
 
 
 def main() -> None:
