@@ -176,15 +176,23 @@ def stage_prove(args, program, result, apcs):
         print("mock check passed")
     else:
         from .stark.config import StarkConfig
-        from .vm.prove import prove_chips, verify_chips
+        from .vm.prove import prove_chips, prove_chips_aggregated, verify_chips
 
         cfg = StarkConfig(
             log_blowup=2,
             num_queries=args.queries,
             proof_of_work_bits=args.pow_bits,
         )
-        with metrics.timer("total_proof_time_ms"):
-            airs, proof = prove_chips(chips, cfg)
+        if args.mode == "stark-agg":
+            with metrics.timer("total_proof_time_ms"):
+                airs, proof, app_airs, app_proof = prove_chips_aggregated(chips, cfg)
+            print(
+                f"app proof ({len(app_airs)} chips) verified in-circuit; "
+                f"aggregation publics bind its roots"
+            )
+        else:
+            with metrics.timer("total_proof_time_ms"):
+                airs, proof = prove_chips(chips, cfg)
         with metrics.timer("verify_time_ms"):
             verify_chips(airs, proof, cfg)
         from .stark.serialize import proof_size_breakdown, proof_to_bytes
@@ -240,7 +248,10 @@ def main(argv=None):
     ap.add_argument("command", choices=["execute", "select-apcs", "prove"])
     ap.add_argument("--guest", default="loop")
     ap.add_argument("--apcs", type=int, default=0)
-    ap.add_argument("--mode", choices=["mock", "stark"], default="mock")
+    ap.add_argument("--mode", choices=["mock", "stark", "stark-agg"], default="mock",
+                    help="mock = constraints + bus balance; stark = real "
+                         "proof; stark-agg = proof wrapped in the "
+                         "aggregation circuit (app -> leaf recursion)")
     ap.add_argument("--queries", type=int, default=20)
     ap.add_argument("--pow-bits", type=int, default=4)
     ap.add_argument("--artifacts-dir", default=".powdr_artifacts")
