@@ -144,10 +144,17 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
 
     _excl_ranges = dict(state.bus_ranges)
     _bool_rc = RangeConstraint(0, 1, 1)
-    _excl_cache: Dict[tuple, bool] = {}
+    # cache shared across the optimizer fixpoint's repeated sweeps (sound:
+    # range knowledge only tightens, so a cached True stays valid and a
+    # cached False merely misses a late-round opportunity)
+    if not hasattr(state, "_mem_excl_cache"):
+        state._mem_excl_cache = {}
+    _excl_cache: Dict[tuple, bool] = state._mem_excl_cache
 
     def _range_distinct(a: GE, b: GE) -> bool:
         d = (a - b).normalized()
+        if len(d.linear) > 8:
+            return False  # interval analysis is hopeless on wide diffs
         key = d.key()
         hit = _excl_cache.get(key)
         if hit is None:
