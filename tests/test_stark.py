@@ -202,3 +202,58 @@ def test_proof_serialization_roundtrip(rng):
     back.chips[0].logup_total = (1, 2, 3, 4)
     with pytest.raises(AssertionError):
         verifier.verify([air], back, CFG, Challenger())
+
+
+def test_fuzzed_proof_bytes_never_verify():
+    """Corrupted proof bytes either fail to decode, fail verification, or
+    decode to a SEMANTICALLY IDENTICAL proof (npz container metadata —
+    a correct accept).  No corrupted-and-different proof may pass."""
+    import random
+
+    from powdr_tpu.stark import serialize
+
+    cfg = StarkConfig(log_blowup=2, num_queries=2, proof_of_work_bits=1)
+    c0 = ir.Col(0)
+    air = Air(width=1, constraints=[ir.Mul(c0, ir.Sub(c0, ir.Const(1)))], name="bool")
+    trace = bb.to_mont(jnp.asarray(np.zeros((16, 1), dtype=np.uint32)))
+    proof = prover.prove([(air, trace)], cfg, Challenger())
+    blob = serialize.proof_to_bytes(proof)
+
+    def canon(p):
+        parts = [np.asarray(p.log_n), np.asarray(p.chip_widths)]
+        for cp in p.chips:
+            parts += [np.asarray(cp.main_root), np.asarray(cp.quotient_root),
+                      np.asarray(cp.logup_total)]
+        for vals in p.pcs.values:
+            parts += [np.asarray(v) for v in vals]
+        parts += [np.asarray(r) for r in p.pcs.fri.layer_roots]
+        parts += [np.asarray(p.pcs.fri.final_poly), np.asarray(p.pcs.fri.pow_witness)]
+        for q in p.pcs.fri.queries:
+            parts.append(np.asarray(q.index))
+            for l in q.layers:
+                parts += [np.asarray(l.pair), np.asarray(l.path)]
+        for pq in p.pcs.queries:
+            for mq in pq.per_matrix:
+                parts += [np.asarray(mq.row_lo), np.asarray(mq.row_hi),
+                          np.asarray(mq.path_lo), np.asarray(mq.path_hi)]
+        return [a.tobytes() for a in parts]
+
+    orig = canon(proof)
+    rnd = random.Random(7)
+    for trial in range(60):
+        b = bytearray(blob)
+        kind = trial % 3
+        if kind == 0:
+            b = b[: rnd.randrange(1, len(b))]
+        elif kind == 1:
+            i = rnd.randrange(len(b))
+            b[i] ^= 1 << rnd.randrange(8)
+        else:
+            i = rnd.randrange(len(b))
+            b[i : i + 4] = bytes(rnd.randrange(256) for _ in range(4))
+        try:
+            p = serialize.proof_from_bytes(bytes(b))
+            verifier.verify([air], p, cfg, Challenger())
+        except Exception:
+            continue
+        assert canon(p) == orig, f"corrupted-and-different proof accepted (trial {trial})"
