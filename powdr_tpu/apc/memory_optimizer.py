@@ -68,6 +68,17 @@ class _AddrCanon:
         for ci, c in enumerate(constraints):
             f = bool_square_form(c)
             if f is None:
+                # affine equalities (word-compose constraints like
+                # word = b0 + 256*b1 + ... - C) also rewrite private vars
+                # onto shared bases — pseudo id None marks "exact, no
+                # carry variable"
+                if c.is_affine() and c.linear:
+                    for v in c.linear:
+                        if counts.get(v, 0) > 2:
+                            continue
+                        prev = self.defs.get(v)
+                        if prev is None or len(c.linear) < len(prev[0].linear):
+                            self.defs[v] = (c, None)
                 continue
             pid = self._PSEUDO_BASE - ci
             for v in f.linear:
@@ -90,8 +101,10 @@ class _AddrCanon:
             if target is None:
                 return cur
             f, pid = self.defs[target]
-            # F = u  =>  limb = solve_for(target) of (F - u)
-            repl = (f - GE.from_var(pid)).solve_for(target)
+            # carry defs: F = u  =>  limb = solve_for(target) of (F - u);
+            # affine equality defs (pid None): F = 0 directly
+            g = f if pid is None else (f - GE.from_var(pid))
+            repl = g.solve_for(target)
             if repl is None:
                 return None
             coeff = cur.linear[target]
