@@ -23,8 +23,20 @@ from .system import Chip
 P = 2013265921
 
 
-def compile_chip(chip: Chip) -> Tuple[Air, jnp.ndarray]:
-    """Lower a Chip to (Air, main trace in Montgomery form)."""
+def compile_chip(chip: Chip, min_log_height: Optional[int] = None) -> Tuple[Air, jnp.ndarray]:
+    """Lower a Chip to (Air, main trace in Montgomery form).
+
+    min_log_height (or env POWDR_TPU_MIN_LOG_HEIGHT) pads every trace to
+    at least 2^k rows: fewer distinct shapes means the persistent compile
+    cache reuses executables ACROSS guests on the tunneled chip.  Sound
+    because chips are padding-closed (all-zero rows satisfy constraints
+    and carry zero bus multiplicities — the same invariant pow2 padding
+    relies on)."""
+    import os
+
+    if min_log_height is None:
+        env = os.environ.get("POWDR_TPU_MIN_LOG_HEIGHT")
+        min_log_height = int(env) if env else 0
     main_names = [c for c in chip.cols if c not in chip.preprocessed]
     pre_names = [c for c in chip.cols if c in chip.preprocessed]
     main_idx = {c: i for i, c in enumerate(main_names)}
@@ -59,6 +71,12 @@ def compile_chip(chip: Chip) -> Tuple[Air, jnp.ndarray]:
         if pre_names
         else None
     )
+    if min_log_height and n < (1 << min_log_height):
+        pad = (1 << min_log_height) - n
+        main = np.pad(main, ((0, pad), (0, 0)))
+        if pre is not None:
+            pre = np.pad(pre, ((0, pad), (0, 0)))
+        n = 1 << min_log_height
     air = Air(
         width=len(main_names),
         constraints=constraints,

@@ -516,3 +516,21 @@ def test_guest_ecc_affine_hint_full_scalar():
     res = run_native_columnar(prog, mem, max_steps=1 << 23)
     check(res)
     mock_check(build_chips(prog, res))
+
+
+@pytest.mark.slow
+def test_height_bucketing_proof(small_tables, monkeypatch):
+    """POWDR_TPU_MIN_LOG_HEIGHT pads every chip to a common minimum height
+    and the proof still verifies (padding rows are constraint- and
+    bus-neutral)."""
+    from powdr_tpu.vm.prove import prove_chips, verify_chips
+    from powdr_tpu.stark.config import StarkConfig
+
+    monkeypatch.setenv("POWDR_TPU_MIN_LOG_HEIGHT", "6")
+    prog = _loop_program()
+    res = Executor(prog).run()
+    chips = build_chips(prog, res)
+    cfg = StarkConfig(log_blowup=2, num_queries=4, proof_of_work_bits=1)
+    airs, proof = prove_chips(chips, cfg)
+    assert min(proof.log_n) >= 6
+    verify_chips(airs, proof, cfg)
