@@ -217,6 +217,9 @@ def exhaustive_pass(
     by_vars: List[Tuple[Set[int], int]] = [
         (c.variables(), i) for i, c in enumerate(system.constraints)
     ]
+    key_hash = (
+        [hash(c.key()) for c in system.constraints] if cache is not None else []
+    )
     occ: Dict[int, List[int]] = {}
     for vs, i in by_vars:
         for v in vs:
@@ -237,6 +240,13 @@ def exhaustive_pass(
         for v, r in ranges.items()
         if r is not None and not r.is_wrapping() and r.range_size() <= 4
     }
+    # per-candidate non-small vars, computed once: a candidate can only
+    # join a group closure when its non-small vars already lie inside the
+    # group, so checking `nonsmall <= vs` FIRST rejects almost everything
+    # before any set difference is built (the per-seed set math over all
+    # candidates dominated the pass otherwise)
+    nonsmall_c = [vs - small_vars for vs, _ in by_vars]
+    nonsmall_f = [fv - small_vars for fv in fact_vars]
     seen_seeds: Set[Tuple[int, ...]] = set()
     for vs0, idx in by_vars:
         if not vs0 or len(vs0) > max_group_vars:
@@ -261,28 +271,29 @@ def exhaustive_pass(
                 for v in vs:
                     cand0.update(occ.get(v, ()))
                     fand0.update(fact_occ.get(v, ()))
-                cand_sets = [by_vars[i][0] for i in cand0]
-                cand_sets += [fact_vars[i] for i in fand0]
-                for cset in cand_sets:
+                cand_pairs = [(by_vars[i][0], nonsmall_c[i]) for i in cand0]
+                cand_pairs += [(fact_vars[i], nonsmall_f[i]) for i in fand0]
+                for cset, nonsmall in cand_pairs:
+                    if not nonsmall <= vs:
+                        continue
                     extra = cset - vs
                     if not extra or len(extra) > 6 or len(vs) + len(extra) > max_closed_vars:
                         continue
-                    if extra <= small_vars:
-                        vs |= extra
+                    vs |= extra
         key = tuple(sorted(vs))
         if key in seen_groups:
             continue
         seen_groups.add(key)
+        cand = set()
+        for v in vs:
+            cand.update(occ.get(v, ()))
+        contained = sorted(i for i in cand if by_vars[i][0] <= vs)
         if cache is not None:
             # skip a group whose inputs (constraints, ranges, facts) are
             # unchanged since a prior pass that yielded no deductions —
             # the optimizer fixpoint re-sweeps mostly-converged systems
-            cand_f = set()
-            for v in vs:
-                cand_f.update(occ.get(v, ()))
             fp = hash((
-                tuple(sorted(system.constraints[i].key() for i in cand_f
-                             if by_vars[i][0] <= vs)),
+                tuple(sorted(key_hash[i] for i in contained)),
                 tuple((v, (ranges[v].min, ranges[v].max, ranges[v].mask)) if v in ranges else (v, None) for v in key),
             ))
             if cache.get(key) == fp:
@@ -298,12 +309,7 @@ def exhaustive_pass(
             var_values[v] = vals
         if not ok:
             continue
-        cand = set()
-        for v in vs:
-            cand.update(occ.get(v, ()))
-        group_cons = [
-            system.constraints[i] for i in sorted(cand) if by_vars[i][0] <= vs
-        ]
+        group_cons = [system.constraints[i] for i in contained]
         fcand = set()
         for v in vs:
             fcand.update(fact_occ.get(v, ()))

@@ -147,16 +147,35 @@ class GroupedExpression:
     # -- substitution --------------------------------------------------------
 
     def substitute(self, v: int, repl: "GroupedExpression") -> "GroupedExpression":
-        """Replace variable v by `repl` (returns a normalized copy)."""
-        out = GroupedExpression(linear=dict(self.linear), constant=self.constant)
-        coeff = out.linear.pop(v, 0)
+        """Replace variable v by `repl` (returns a normalized copy).
+
+        Accumulates into one mutable (quad, linear, constant) triple
+        instead of chaining `__add__` copies — the add chain re-copied the
+        full linear dict once per quadratic pair, which dominated solver
+        substitution time on large systems."""
+        lin = {u: c for u, c in self.linear.items() if u != v}
+        const = self.constant
+        quad: List[Tuple[GroupedExpression, GroupedExpression]] = []
+
+        def accumulate(e: "GroupedExpression") -> None:
+            nonlocal const
+            for u, c in e.linear.items():
+                s = (lin.get(u, 0) + c) % P
+                if s:
+                    lin[u] = s
+                elif u in lin:
+                    del lin[u]
+            const = (const + e.constant) % P
+            quad.extend(e.quadratic)
+
+        coeff = self.linear.get(v, 0)
         if coeff:
-            out = out + repl.scale(coeff)
+            accumulate(repl.scale(coeff))
         for l, r in self.quadratic:
             ls = l.substitute(v, repl) if v in l.variables() else l
             rs = r.substitute(v, repl) if v in r.variables() else r
-            out = out + (ls * rs)
-        return out
+            accumulate(ls * rs)
+        return GroupedExpression._raw(quad, lin, const)
 
     def substitute_all(self, subs: Dict[int, "GroupedExpression"]) -> "GroupedExpression":
         out = self

@@ -187,15 +187,27 @@ def export_apc(apc: VmApc, path: str) -> None:
 
 def find_occurrences(block: BasicBlock, result: ExecutionResult) -> List[List[int]]:
     """Positions (pc_trace indices) of full executions of the block.
-    Returns a list of per-occurrence lists of trace positions."""
+    Returns a list of per-occurrence lists of trace positions.
+
+    Occurrences that straddle an epoch-refresh boundary (segmentation,
+    executor `segment_steps`) are dropped: the APC's collapsed exec bus
+    assumes ts chains by TS_DELTA between the block's instructions, which
+    an epoch refresh between two of them breaks — those executions run on
+    the plain instruction chips instead (the reference's segment-boundary
+    analog: SegmentationLimits, openvm-riscv/src/lib.rs:270-283)."""
+    from .isa import TS_DELTA
+
     pcs = block.pcs
+    seg_steps = result.epoch_ticks // TS_DELTA if result.epoch_ticks else 0
     out = []
     i = 0
     trace = result.pc_trace
     n = len(trace)
     while i < n:
         if trace[i] == pcs[0] and i + len(pcs) <= n and trace[i : i + len(pcs)] == pcs:
-            out.append(list(range(i, i + len(pcs))))
+            last = i + len(pcs) - 1
+            if not seg_steps or i // seg_steps == last // seg_steps:
+                out.append(list(range(i, i + len(pcs))))
             i += len(pcs)
         else:
             i += 1
@@ -268,6 +280,27 @@ def _compute_derived(machine: SymbolicMachine, vals: Dict[str, np.ndarray], n_ro
             vals[d.var.name] = np.where(den % P == 0, 0, num * inv % P)
 
 
+def _vec_op_outputs(result: ExecutionResult):
+    """Lazy per-opcode vectorized witgen outputs over columnar records:
+    op -> {col: (n_op,) uint64}.  The columnar analog of calling the
+    per-row `wg` on every record of the opcode."""
+    from .witgen_vec import registry_vec
+
+    vec = registry_vec()
+    cache: Dict[str, Dict[str, np.ndarray]] = {}
+
+    def get(op: str) -> Dict[str, np.ndarray]:
+        out = cache.get(op)
+        if out is None:
+            out = cache[op] = {
+                c: np.asarray(v, dtype=np.uint64)
+                for c, v in vec[op](result.records_columnar[op]).items()
+            }
+        return out
+
+    return get
+
+
 def apc_chip(
     apc: VmApc,
     occurrences: List[List[int]],
@@ -293,15 +326,31 @@ def apc_chip(
     ]
     for vid, name in gathered:
         vals[name] = np.zeros(n_rows, dtype=np.uint64)
-    for r, occ in enumerate(occurrences):
-        inst_cols: List[Dict[str, int]] = []
-        for pos in occ:
-            op, k = rec_index[pos]
-            _, wg = reg()[op]
-            inst_cols.append(wg(result.records[op][k]))
+    if n_rows and result.records_columnar is not None and not result.records:
+        # columnar-core path: every occurrence executes the same block, so
+        # block position i has a fixed opcode — gather whole columns from
+        # the vectorized witgen with one fancy-index per substituted var
+        get = _vec_op_outputs(result)
+        ops = [rec_index[pos][0] for pos in occurrences[0]]
+        ks = np.array(
+            [[rec_index[pos][1] for pos in occ] for occ in occurrences],
+            dtype=np.int64,
+        )
         for vid, name in gathered:
             i, col = apc.subs[vid]
-            vals[name][r] = inst_cols[i].get(col, 0) % P
+            v = get(ops[i]).get(col)
+            if v is not None:
+                vals[name] = v[ks[:, i]] % P
+    else:
+        for r, occ in enumerate(occurrences):
+            inst_cols: List[Dict[str, int]] = []
+            for pos in occ:
+                op, k = rec_index[pos]
+                _, wg = reg()[op]
+                inst_cols.append(wg(result.records[op][k]))
+            for vid, name in gathered:
+                i, col = apc.subs[vid]
+                vals[name][r] = inst_cols[i].get(col, 0) % P
     _compute_derived(apc.machine, vals, n_rows)
     cols = [main[k] for k in sorted(main)]
     zero = np.zeros(n_rows, dtype=np.uint64)
@@ -332,13 +381,18 @@ def build_chips_with_apcs(
         if apc.optimistic is not None:
             from .machines import registry as _reg
 
+            columnar = result.records_columnar is not None and not result.records
+            get = _vec_op_outputs(result) if columnar else None
             kept = []
             for occ in occs:
                 inst_cols = []
                 for pos in occ:
                     op, k = rec_index[pos]
-                    _, wg = _reg()[op]
-                    inst_cols.append(wg(result.records[op][k]))
+                    if columnar:
+                        inst_cols.append({c: int(a[k]) for c, a in get(op).items()})
+                    else:
+                        _, wg = _reg()[op]
+                        inst_cols.append(wg(result.records[op][k]))
                 if apc.optimistic.check_rows(inst_cols):
                     kept.append(occ)
             occs = kept
@@ -356,6 +410,23 @@ def build_chips_with_apcs(
         for op, recs in result.records.items()
     }
     filtered_records = {op: recs for op, recs in filtered_records.items() if recs}
+    filtered_columnar = None
+    if result.records_columnar is not None and not result.records:
+        filtered_columnar = {}
+        for op, rec in result.records_columnar.items():
+            cons = consumed.get(op)
+            if cons:
+                n_op = len(rec["pc"])
+                keep = np.setdiff1d(
+                    np.arange(n_op), np.fromiter(cons, dtype=np.int64, count=len(cons))
+                )
+                if len(keep) == 0:
+                    continue
+                rec = {
+                    f: ([x[keep] for x in v] if isinstance(v, list) else v[keep])
+                    for f, v in rec.items()
+                }
+            filtered_columnar[op] = rec
     sub_result = ExecutionResult(
         records=filtered_records,
         pc_trace=result.pc_trace,
@@ -363,13 +434,20 @@ def build_chips_with_apcs(
         initial_cells=result.initial_cells,
         instret=result.instret,
         halted=result.halted,
+        records_columnar=filtered_columnar,
     )
     chips = system_mod.instruction_chips(sub_result)
     # program chip counts only non-APC executions
     non_apc_trace = [pc for i, pc in enumerate(result.pc_trace) if i not in apc_positions]
-    chips.append(system_mod.program_chip(program, non_apc_trace))
-    chips.append(system_mod.exec_boundary_chip())
+    chips.append(system_mod.program_chip(program, non_apc_trace, pc_base=result.pc_base))
+    chips.append(system_mod.exec_boundary_chip(start_pc=result.start_pc))
     chips.append(system_mod.memory_boundary_chip(result))
+    # segmentation epoch-refresh chips, same as system.build_chips (APC
+    # occurrences never straddle an epoch — find_occurrences drops those)
+    if result.mem_refresh is not None and len(result.mem_refresh["seg"]):
+        chips.append(system_mod.mem_refresh_chip(result.mem_refresh, result.epoch_ticks))
+    if result.exec_refresh is not None and len(result.exec_refresh["seg"]):
+        chips.append(system_mod.exec_refresh_chip(result.exec_refresh, result.epoch_ticks))
     chips.extend(apc_chips)
     # periphery counts from everything built so far
     range_counts: Dict[Tuple[int, int], int] = {}

@@ -36,6 +36,11 @@ def _mask_of(values) -> int:
 def detect(result: ExecutionResult, program, max_rows_per_pc: int = 256) -> Dict[int, PcEmpirical]:
     """pc -> observed column facts, from the execution's witness rows."""
     reg = registry()
+    columnar = result.records_columnar is not None and not result.records
+    if columnar:
+        from .apc import _vec_op_outputs
+
+        get = _vec_op_outputs(result)
     by_pc: Dict[int, List[Dict[str, int]]] = {}
     counters: Dict[str, int] = {}
     for pc in result.pc_trace:
@@ -44,8 +49,11 @@ def detect(result: ExecutionResult, program, max_rows_per_pc: int = 256) -> Dict
         counters[op] = k + 1
         rows = by_pc.setdefault(pc, [])
         if len(rows) < max_rows_per_pc:
-            _, wg = reg[op]
-            rows.append(wg(result.records[op][k]))
+            if columnar:
+                rows.append({c: int(a[k]) for c, a in get(op).items()})
+            else:
+                _, wg = reg[op]
+                rows.append(wg(result.records[op][k]))
     out: Dict[int, PcEmpirical] = {}
     for pc, rows in by_pc.items():
         cols = sorted({c for r in rows for c in r})

@@ -143,3 +143,28 @@ def test_apc_export_roundtrip(tmp_path, sha_run):
     back = load_apc(path)
     assert back.machine.stats() == apc.machine.stats()
     assert back.bus_map is not None
+
+
+def test_columnar_apc_witgen_matches_dict(sha_run):
+    """APC chip traces gathered from the native columnar core must be
+    bit-identical to the python-interpreter dict-record path (the CLI
+    executes on the columnar core by default)."""
+    import numpy as np
+
+    from powdr_tpu.vm.executor_native import run_native_columnar
+
+    prog, res_dict = sha_run
+    _, mem, _ = sha256_guest()
+    res_col = run_native_columnar(prog, mem)
+    assert not res_col.records and res_col.records_columnar is not None
+    cands = generate_candidates(prog, res_dict, superblocks=False)
+    apcs = select_apcs(cands, max_apcs=1)
+    chips_a = build_chips_with_apcs(prog, res_dict, apcs)
+    chips_b = build_chips_with_apcs(prog, res_col, apcs)
+    assert [c.name for c in chips_a] == [c.name for c in chips_b]
+    for ca, cb in zip(chips_a, chips_b):
+        assert set(ca.trace) == set(cb.trace), ca.name
+        for col in ca.trace:
+            np.testing.assert_array_equal(
+                np.asarray(ca.trace[col]), np.asarray(cb.trace[col]), err_msg=f"{ca.name}.{col}"
+            )
