@@ -6,14 +6,19 @@ solver's abstract domain:
   * VariableRangeChecker (x, bits): x in [0, 2^bits)     (variable_range_checker.rs)
   * BitwiseLookup (x, y, z, op): op=0 -> x,y bytes, z=0; op=1 -> bytes    (bitwise_lookup.rs)
   * TupleRangeChecker[m1,m2] (a, b): a < m1, b < m2      (tuple_range_checker.rs)
-  * Memory / ExecutionBridge / PcLookup: no pure range semantics
+  * Memory receive (space, ptr, data..., ts) with mult exactly -1 and
+    space in {1 (registers), 2 (heap)}: data limbs are bytes (everything
+    written to registers/memory is range-checked at write time — the
+    system invariant memory.rs:31-46 encodes); a register-0 read is all
+    zeros (x0 is never written)
+  * ExecutionBridge / PcLookup: no pure range semantics
 """
 from __future__ import annotations
 
 from typing import Dict, List, Optional, Tuple
 
 from ..solver.constraint_system import ConstraintSystemGE
-from ..solver.grouped_expression import GroupedExpression as GE
+from ..solver.grouped_expression import GroupedExpression as GE, P
 from ..solver.range_constraint import RangeConstraint
 from .symbolic_machine import BusMap
 
@@ -52,6 +57,24 @@ def _arg_ranges(bus_type, args: List[GE]) -> Optional[List[Optional[RangeConstra
     return None
 
 
+def _memory_ranges(b) -> Optional[List[Optional[RangeConstraint]]]:
+    """Memory-bus receive semantics (memory.rs handle_memory): a receive
+    (mult == -1 exactly) from register space (1) or heap space (2) yields
+    byte-ranged data limbs — the zkVM's invariant that every written limb
+    was range-checked at write time.  Register 0 reads are all zero."""
+    if b.mult.try_to_constant() != P - 1 or len(b.args) < 3:
+        return None
+    space = b.args[0].try_to_constant()
+    if space not in (1, 2):
+        return None
+    ptr = b.args[1].try_to_constant()
+    if space == 1 and ptr == 0:
+        data_rc = RangeConstraint.from_value(0)
+    else:
+        data_rc = BYTE
+    return [None, None] + [data_rc] * (len(b.args) - 3) + [None]
+
+
 def seed_ranges(
     system: ConstraintSystemGE, bus_map: BusMap
 ) -> Tuple[Dict[int, RangeConstraint], List[GE]]:
@@ -63,7 +86,10 @@ def seed_ranges(
         bus_type = bus_map.bus_ids.get(b.id)
         if bus_type is None:
             continue
-        rcs = _arg_ranges(bus_type, b.args)
+        if bus_type == "Memory":
+            rcs = _memory_ranges(b)
+        else:
+            rcs = _arg_ranges(bus_type, b.args)
         if rcs is None:
             continue
         for arg, rc in zip(b.args, rcs):

@@ -56,49 +56,46 @@ class _AddrCanon:
     def __init__(self, constraints):
         from ..apc.optimizer import bool_square_form
 
-        # var -> (defining F, pseudo id); only private limbs (vars in at
-        # most 2 algebraic constraints — shared register limbs appear in
-        # many) get definitions, and the F with fewest vars (the
-        # low-carry constraint) wins so substitution chains terminate
-        counts: dict = {}
-        for c in constraints:
-            for v in c.variables():
-                counts[v] = counts.get(v, 0) + 1
+        # var -> (defining affine F, pseudo id):  F = 0 (pid None, an
+        # affine equality) or F = u_pid with u_pid boolean (F*(F-1)=0,
+        # the carry form).  A def for v is only admitted when every OTHER
+        # real variable in F has a SMALLER id — substitution then strictly
+        # decreases the id multiset, so chains terminate and every
+        # expression over the same data reaches the same base columns
+        # (allocation order puts sources before results, so this resolves
+        # pointer limbs -> register bytes -> the oldest shared columns;
+        # the reference reaches the same forms through its solver's
+        # substitutions + try_solve_for_expr equivalences,
+        # constraint-solver/src/solver/base.rs:242-262).
         self.defs = {}
-        for ci, c in enumerate(constraints):
-            f = bool_square_form(c)
-            if f is None:
-                # affine equalities (word-compose constraints like
-                # word = b0 + 256*b1 + ... - C) also rewrite private vars
-                # onto shared bases — pseudo id None marks "exact, no
-                # carry variable"
-                if c.is_affine() and c.linear:
-                    for v in c.linear:
-                        if counts.get(v, 0) > 2:
-                            continue
-                        prev = self.defs.get(v)
-                        if prev is None or len(c.linear) < len(prev[0].linear):
-                            self.defs[v] = (c, None)
-                continue
-            pid = self._PSEUDO_BASE - ci
+
+        def admit(f: GE, pid, ci_len: int):
             for v in f.linear:
-                if counts.get(v, 0) > 2:
+                if v < 0:
+                    continue
+                if any(u >= v for u in f.linear if u >= 0 and u != v):
                     continue
                 prev = self.defs.get(v)
-                if prev is None or len(f.linear) < len(prev[0].linear):
+                if prev is None or ci_len < len(prev[0].linear):
                     self.defs[v] = (f, pid)
+
+        for ci, c in enumerate(constraints):
+            f = bool_square_form(c)
+            if f is not None:
+                admit(f, self._PSEUDO_BASE - ci, len(f.linear))
+            elif c.is_affine() and c.linear:
+                admit(c, None, len(c.linear))
 
     def canon(self, expr: GE) -> Optional[GE]:
         if not expr.is_affine():
             return None
         cur = expr
-        for _ in range(8):  # chain: high limb -> low limb -> shared
+        for _ in range(64):
             target = None
             for v in cur.linear:
-                if v >= 0 and v in self.defs:
+                if v >= 0 and v in self.defs and (target is None or v > target):
                     target = v
-                    break
-            if target is None:
+            if target is None or len(cur.linear) > 24:
                 return cur
             f, pid = self.defs[target]
             # carry defs: F = u  =>  limb = solve_for(target) of (F - u);
@@ -112,22 +109,148 @@ class _AddrCanon:
                 linear={u: c for u, c in cur.linear.items() if u != target},
                 constant=cur.constant,
             ) + repl.scale(coeff)
-        return None  # substitution chain too deep (cycle guard)
+        return cur  # deep chain: return the partially-canonical form
 
     @staticmethod
     def provably_different(a: GE, b: GE) -> bool:
         """True if a - b has only pseudo-vars and no {0,1} assignment
-        of them makes the difference zero mod P."""
+        of them makes the difference zero mod P (the reference's
+        possible_concrete_values check, utils.rs:49-74, with the carry
+        booleans as the enumerated variables)."""
         d = (a - b).normalized()
         real = [v for v in d.linear if v >= 0]
         if real:
             return False
         pseudos = list(d.linear.items())
-        if len(pseudos) > 6:
+        if len(pseudos) > 10:
             return False
         sums = {d.constant % P}
         for _, c in pseudos:
             sums = {s % P for s in sums} | {(s + c) % P for s in sums}
+        return 0 not in sums
+
+
+class _DiffReducer:
+    """Decides `d != 0 always` for an affine difference d by eliminating
+    unbounded variables through the system's affine equalities (including
+    carry forms F*(F-1)=0 read as F = u with u boolean) and then
+    enumerating the reachable values of the bounded residue.
+
+    This is the working core of the reference's
+    are_expressions_known_to_be_different (base.rs:242-262): equivalent
+    forms of the two addresses via try_solve_for_expr, then
+    possible_concrete_values over the (small) assignment space.  The
+    canonical case it discharges: two heap pointers based on different
+    registers where one register was computed from the other by an
+    in-block add — eliminating the result bytes through the limb/carry
+    equations cancels the shared base and leaves
+    `K + sum 256^i * (+-carry_i)`, whose 2^k concrete values exclude 0."""
+
+    def __init__(self, constraints, ranges: Dict[int, "RangeConstraint"]):
+        from .optimizer import bool_square_form
+        from ..solver.range_constraint import RangeConstraint
+
+        self.ranges = ranges
+        self.bool_rc = RangeConstraint(0, 1, 1)
+        self.booleans: set = set()
+        #: var -> list of affine equations (e == 0) usable to eliminate it
+        self.eqs: Dict[int, List[GE]] = {}
+        pid = _AddrCanon._PSEUDO_BASE
+        for ci, c in enumerate(constraints):
+            f = bool_square_form(c)
+            if f is not None:
+                sv = f.try_to_simple_var()
+                if sv is not None:
+                    self.booleans.add(sv)
+                    continue
+                eq = f - GE.from_var(pid - ci)  # F = u, u boolean
+            elif c.is_affine() and c.linear:
+                eq = c
+            else:
+                continue
+            for v in eq.linear:
+                if v >= 0:
+                    self.eqs.setdefault(v, []).append(eq)
+        self.cache: Dict[tuple, bool] = {}
+
+    def _allowed(self, v: int):
+        """Sorted candidate values if v has a small known range, else None."""
+        if v < 0 or v in self.booleans:
+            return (0, 1)
+        rc = self.ranges.get(v)
+        if rc is None or rc.is_wrapping():
+            return None
+        size = rc.range_size()
+        if size > 16:
+            return None
+        return tuple(range(rc.min, rc.max + 1))
+
+    def _unbounded(self, d: GE) -> List[int]:
+        return [v for v in d.linear if self._allowed(v) is None]
+
+    def exclude_zero(self, d: GE, max_steps: int = 48, max_combos: int = 4096) -> bool:
+        d = d.normalized()
+        if not d.is_affine():
+            return False
+        key = d.key()
+        hit = self.cache.get(key)
+        if hit is not None:
+            return hit
+        out = self._exclude_zero(d, max_steps, max_combos)
+        self.cache[key] = out
+        return out
+
+    def _exclude_zero(self, d: GE, max_steps: int, max_combos: int) -> bool:
+        eliminated: set = set()
+        for _ in range(max_steps):
+            unbounded = self._unbounded(d)
+            if not unbounded:
+                break
+            if len(d.linear) > 24:
+                return False
+            # eliminate the youngest unbounded var (results come after
+            # their sources in allocation order, so this walks toward
+            # the shared base columns)
+            v = max(unbounded)
+            best = None
+            for eq in self.eqs.get(v, ()):  # pick the equation introducing
+                if eq.variables() & eliminated:  # no eliminated vars back
+                    continue
+                repl = eq.solve_for(v)
+                if repl is None:
+                    continue
+                new_unb = sum(
+                    1
+                    for u in repl.linear
+                    if u not in d.linear and self._allowed(u) is None
+                )
+                score = (new_unb, len(repl.linear))
+                if best is None or score < best[0]:
+                    best = (score, repl)
+            if best is None or best[0][0] > 2:
+                return False
+            eliminated.add(v)
+            d = d.substitute(v, best[1]).normalized()
+            if not d.is_affine():
+                return False
+        else:
+            return False
+        # enumerate reachable sums over the bounded variables
+        combos = 1
+        allowed = {}
+        for v in d.linear:
+            vals = self._allowed(v)
+            if vals is None:
+                return False
+            combos *= len(vals)
+            if combos > max_combos:
+                return False
+            allowed[v] = vals
+        sums = {d.constant % P}
+        for v, c in d.linear.items():
+            sums = {(s + c * val) % P for s in sums for val in allowed[v]}
+            if len(sums) > max_combos:
+                return False
         return 0 not in sums
 
 
@@ -157,27 +280,35 @@ def optimize_memory(state: OptimizerState, memory_bus_id: int) -> None:
 
     _excl_ranges = dict(state.bus_ranges)
     _bool_rc = RangeConstraint(0, 1, 1)
-    # cache shared across the optimizer fixpoint's repeated sweeps (sound:
-    # range knowledge only tightens, so a cached True stays valid and a
-    # cached False merely misses a late-round opportunity)
+    # positive results cached across the optimizer fixpoint's repeated
+    # sweeps (sound: range knowledge only tightens, so a True stays
+    # valid); negatives are only cached within this invocation — a later
+    # round's richer knowledge may flip them
     if not hasattr(state, "_mem_excl_cache"):
         state._mem_excl_cache = {}
-    _excl_cache: Dict[tuple, bool] = state._mem_excl_cache
+    _excl_pos: Dict[tuple, bool] = state._mem_excl_cache
+    _excl_cache: Dict[tuple, bool] = dict(_excl_pos)
+
+    reducer = _DiffReducer(sys.constraints, state.bus_ranges)
 
     def _range_distinct(a: GE, b: GE) -> bool:
         d = (a - b).normalized()
-        if len(d.linear) > 8:
-            return False  # interval analysis is hopeless on wide diffs
         key = d.key()
         hit = _excl_cache.get(key)
         if hit is None:
-            for v in d.linear:
-                # only _AddrCanon's pseudo ids are known bits; other
-                # negative ids must NOT be assumed boolean
-                if v <= _AddrCanon._PSEUDO_BASE and v not in _excl_ranges:
-                    _excl_ranges[v] = _bool_rc
-            hit = affine_value_excluded(d, [0], _excl_ranges)
+            hit = False
+            if len(d.linear) <= 8:
+                for v in d.linear:
+                    # only _AddrCanon's pseudo ids are known bits; other
+                    # negative ids must NOT be assumed boolean
+                    if v <= _AddrCanon._PSEUDO_BASE and v not in _excl_ranges:
+                        _excl_ranges[v] = _bool_rc
+                hit = affine_value_excluded(d, [0], _excl_ranges)
+            if not hit:
+                hit = reducer.exclude_zero(d)
             _excl_cache[key] = hit
+            if hit:
+                _excl_pos[key] = True
         return hit
 
     def parse(i) -> Optional[_Access]:

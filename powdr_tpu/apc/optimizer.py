@@ -1161,12 +1161,27 @@ def optimize_machine(
     # passes below subsume repeated application
     timed("linearizer", linearizer_pass)
 
+    def reseed_pass(s: OptimizerState) -> None:
+        """Re-run the bus handler's range semantics on the CURRENT system:
+        facts that only become available once guards resolve to constants
+        (e.g. Memory receives reaching mult == -1, whose data limbs are
+        then known bytes) enter the solver's domain mid-fixpoint — the
+        reference's handler is consulted at every solver iteration
+        (solver/base.rs), not once up front."""
+        if bus_map is None:
+            return
+        seeded2, _ = bus_handlers.seed_ranges(s.system, bus_map)
+        for v, rc in seeded2.items():
+            cur = s.bus_ranges.get(v, RangeConstraint.default())
+            s.bus_ranges[v] = cur.conjunction(rc)
+
     # inner pass list, mirroring constraint_optimizer.rs optimize_constraints
     # (solver -> trivial -> free vars -> disconnected -> exhaustive ->
     #  rule-based -> bus-field substitution -> memory -> low-degree bus),
     # plus the fact-driven passes that stand in for the reference's
     # BusInteractionHandler-aware solver (expr_range / twin_square / ...)
     passes = [
+        ("reseed", reseed_pass),
         ("solver", solver_pass),
         ("trivial", remove_trivial),
         ("free_vars", lambda s: remove_free_vars(s, bus_map)),

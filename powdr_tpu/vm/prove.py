@@ -23,6 +23,30 @@ from .system import Chip
 P = 2013265921
 
 
+#: structural-fingerprint -> Air cache.  Proving is a serving workload:
+#: the same guest proves many inputs, and every proof of the same chip
+#: set must reuse the SAME Air objects so their jitted perm/quotient
+#: programs (cached on the Air) never re-trace or re-compile.  Keyed by
+#: the machine's serialized form + column list + preprocessed bytes, so
+#: structurally identical chips across guests also share (the instruction
+#: machines from vm.machines.registry are identical program-to-program).
+_AIR_CACHE: Dict[tuple, Air] = {}
+
+
+def _air_fingerprint(chip: Chip, pre) -> tuple:
+    import hashlib
+
+    from ..apc.symbolic_machine import machine_to_json
+    import json
+
+    h = hashlib.sha256(
+        json.dumps(machine_to_json(chip.machine), sort_keys=True).encode()
+    )
+    if pre is not None:
+        h.update(np.ascontiguousarray(pre).tobytes())
+    return (chip.name, tuple(chip.cols), h.hexdigest())
+
+
 def compile_chip(chip: Chip, min_log_height: Optional[int] = None) -> Tuple[Air, jnp.ndarray]:
     """Lower a Chip to (Air, main trace in Montgomery form).
 
@@ -77,13 +101,17 @@ def compile_chip(chip: Chip, min_log_height: Optional[int] = None) -> Tuple[Air,
         if pre is not None:
             pre = np.pad(pre, ((0, pad), (0, 0)))
         n = 1 << min_log_height
-    air = Air(
-        width=len(main_names),
-        constraints=constraints,
-        interactions=interactions,
-        name=chip.name,
-        preprocessed=pre,
-    )
+    key = _air_fingerprint(chip, pre)
+    air = _AIR_CACHE.get(key)
+    if air is None:
+        air = Air(
+            width=len(main_names),
+            constraints=constraints,
+            interactions=interactions,
+            name=chip.name,
+            preprocessed=pre,
+        )
+        _AIR_CACHE[key] = air
     trace = bb.to_mont(jnp.asarray(main))
     return air, trace
 
