@@ -33,19 +33,23 @@ SHORT, LONG = 2, 18
 def e2e_proof_metrics() -> dict:
     """End-to-end proofs/min (reference metric surface:
     openvm-riscv/scripts/basic_metrics.py total_proof_time_ms and the
-    nightly guest-keccak config).  Proves the loop and keccak-f guests'
+    nightly guest-keccak config).  Proves the keccak and loop guests'
     full VM traces at the DEFAULT ~100-bit security preset (the setting
-    the reference's nightly numbers use); warm timing after one untimed
-    run populates the persistent compile cache."""
+    the reference's nightly numbers use).
+
+    keccak runs FIRST (the BASELINE north-star metric) so a budget stop
+    never leaves it dark.  The first proof of a guest pays tracing (the
+    XLA compiles land in the persistent cache across bench runs); the
+    proofs/min number is the warm steady state — the serving regime,
+    where compiled Airs are reused across proofs (vm.prove._AIR_CACHE)."""
     from powdr_tpu.cli import _guest
     from powdr_tpu.stark.config import DEFAULT as cfg
-    from powdr_tpu.vm.executor import Executor
     from powdr_tpu.vm.prove import prove_chips, verify_chips
     from powdr_tpu.vm.system import build_chips
 
     import signal
     out = {}
-    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "1500"))
+    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "3000"))
 
     def _alarm(signum, frame):
         raise TimeoutError("e2e budget exhausted")
@@ -54,9 +58,16 @@ def e2e_proof_metrics() -> dict:
     signal.alarm(int(budget))
     t_start = time.perf_counter()
     try:
-        for guest in ("loop", "keccak"):
+        for guest in ("keccak", "loop"):
             prog, mem, _check = _guest(guest)
-            res = Executor(prog, mem).run()
+            try:
+                from powdr_tpu.vm.executor_native import run_native_columnar
+
+                res = run_native_columnar(prog, mem)
+            except Exception:
+                from powdr_tpu.vm.executor import Executor
+
+                res = Executor(prog, mem).run()
             chips = build_chips(prog, res)
             t0 = time.perf_counter()
             airs, proof = prove_chips(chips, cfg)
@@ -68,7 +79,7 @@ def e2e_proof_metrics() -> dict:
             out[f"guest_{guest}_proof_s"] = round(dt, 2)
             out[f"guest_{guest}_proof_cold_s"] = round(dt_cold, 2)
             out[f"guest_{guest}_proofs_per_min"] = round(60.0 / dt, 3)
-            if time.perf_counter() - t_start + 3 * dt_cold > budget:
+            if time.perf_counter() - t_start + 2 * dt_cold > budget:
                 out["budget_stop"] = guest  # not enough budget for the next
                 break
     except TimeoutError:
@@ -123,6 +134,15 @@ def main() -> None:
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+    # e2e proof metrics FIRST (BASELINE's guest-keccak proofs/min is the
+    # north-star number; the NTT sweep runs on whatever budget remains)
+    extra = {}
+    if os.environ.get("BENCH_E2E", "1") != "0":
+        try:
+            extra = e2e_proof_metrics()
+        except Exception as e:  # the headline metric must still report
+            extra = {"e2e_error": repr(e)[:200]}
+
     import jax.numpy as jnp
     import numpy as np
 
@@ -164,11 +184,8 @@ def main() -> None:
         "unit": "elems/s",
         "vs_baseline": round(elems_per_s / BASELINE_ELEMS_PER_S, 4),
     }
-    if os.environ.get("BENCH_E2E", "1") != "0":
-        try:
-            result["extra"] = e2e_proof_metrics()
-        except Exception as e:  # the headline metric must still report
-            result["extra"] = {"e2e_error": repr(e)[:200]}
+    if extra:
+        result["extra"] = extra
     print(json.dumps(result))
 
 

@@ -43,9 +43,12 @@ def _guest(name: str):
         return prog, {}, lambda res: None
     fn = {
         "sha256": guests.sha256_guest,
-        "keccak": guests.keccak_f_guest,
+        "keccak": guests.keccak_guest,  # chained keccak256 (guest-keccak)
+        "keccak-f": guests.keccak_f_guest,  # one bare permutation
         "matmul": guests.matmul_guest,
         "u256_add": guests.u256_add_guest,
+        "ecrecover": guests.ecrecover_guest,
+        "pairing": guests.pairing_guest,
     }[name]
     return fn()
 

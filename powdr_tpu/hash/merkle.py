@@ -97,6 +97,44 @@ def build(leaf_digests: jnp.ndarray) -> MerkleTree:
     return MerkleTree(list(_build_layers(leaf_digests)))
 
 
+def verify_paths(items) -> np.ndarray:
+    """Batch path verification: items are (root, index, leaf_digest, path,
+    expected_depth) tuples; returns a bool array (one per item).
+
+    Groups by depth and runs ONE vectorized compress per tree level per
+    group — the verifier's per-path per-level `compress_host` dispatches
+    (queries x matrices x depth of them) dominated wall-clock otherwise."""
+    import collections
+
+    ok = np.ones(len(items), dtype=bool)
+    groups = collections.defaultdict(list)
+    for k, (root, index, leaf, path, depth) in enumerate(items):
+        if len(path) != depth:
+            ok[k] = False
+            continue
+        groups[depth].append(k)
+    for depth, idxs in groups.items():
+        cur = jnp.asarray(
+            np.stack([np.asarray(items[k][2]).reshape(p2.DIGEST) for k in idxs])
+        )
+        idxarr = np.array([items[k][1] for k in idxs], dtype=np.int64)
+        if depth:
+            paths = np.stack(
+                [np.asarray(items[k][3], dtype=np.uint32).reshape(depth, p2.DIGEST) for k in idxs]
+            )
+        for l in range(depth):
+            sib = jnp.asarray(paths[:, l])
+            bit = jnp.asarray(((idxarr >> l) & 1)[:, None] == 1)
+            left = jnp.where(bit, sib, cur)
+            right = jnp.where(bit, cur, sib)
+            cur = p2.compress_host(left, right)
+        roots = np.stack([np.asarray(items[k][0]).reshape(p2.DIGEST) for k in idxs])
+        res = (np.asarray(cur) == roots).all(axis=1)
+        for k, r in zip(idxs, res):
+            ok[k] = bool(r)
+    return ok
+
+
 def verify_path(
     root: np.ndarray,
     index: int,

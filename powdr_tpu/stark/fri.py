@@ -286,6 +286,19 @@ def verify(
     num_layers = len(proof.layer_roots)
     assert (1 << (log_n - num_layers)) == final_len * config.blowup, "layer count mismatch"
 
+    # all (query, layer) pair digests in ONE host hash dispatch, and all
+    # Merkle path checks deferred into one batched verification — the
+    # per-pair hash + per-level compress dispatches dominated verify time
+    pair_rows = [
+        bb.np_to_mont(layer.pair.reshape(-1))
+        for query in proof.queries
+        for layer in query.layers
+    ]
+    if pair_rows:
+        pair_digests = np.asarray(p2.hash_rows_host(jnp.asarray(np.stack(pair_rows))))
+    deferred_paths = []
+    digest_iter = iter(range(len(pair_rows)))
+
     results = []
     for query in proof.queries:
         q = challenger.sample_bits(log_n - 1)
@@ -297,12 +310,8 @@ def verify(
         for l, (layer, beta, root) in enumerate(zip(query.layers, betas, proof.layer_roots)):
             h = 1 << (cur_log - 1)
             i = idx % h
-            # check merkle path
-            leaf_row = bb.np_to_mont(layer.pair.reshape(-1))
-            digest = np.asarray(p2.hash_rows_host(jnp.asarray(leaf_row[None, :])))[0]
-            assert merkle.verify_path(
-                root, i, digest, layer.path, expected_depth=cur_log - 1
-            ), f"bad path layer {l}"
+            digest = pair_digests[next(digest_iter)]
+            deferred_paths.append((root, i, digest, layer.path, cur_log - 1))
             lo, hi = tuple(int(v) for v in layer.pair[0]), tuple(int(v) for v in layer.pair[1])
             if value is None:
                 if open_input is not None:
@@ -333,4 +342,7 @@ def verify(
         x = shift * pow(w, idx, bb.P) % bb.P
         assert value == _py_eval_ext_poly(proof.final_poly, x), "final poly mismatch"
         results.append((q, query.layers[0].pair if query.layers else None))
+    if deferred_paths:
+        ok = merkle.verify_paths(deferred_paths)
+        assert ok.all(), f"bad path in FRI layer (items {np.nonzero(~ok)[0][:4]})"
     return results

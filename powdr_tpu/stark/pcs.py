@@ -432,6 +432,23 @@ def verify_openings(
                 y_comb = py_ext_add(y_comb, ext.py_mul(tuple(int(c) for c in y[j]), apows[j]))
             terms.append((m_idx, z, apows, y_comb))
 
+    # all row digests per matrix in ONE host hash dispatch each, and all
+    # path checks deferred to one batched verification (per-row hashes +
+    # per-level compresses across queries x matrices dominated verify time)
+    nq = len(opening.queries)
+    digests: List[np.ndarray] = []
+    for m_idx in range(len(roots)):
+        rows = np.stack(
+            [
+                bb.np_to_mont(np.asarray(r, dtype=np.uint32))
+                for pq in opening.queries
+                for r in (pq.per_matrix[m_idx].row_lo, pq.per_matrix[m_idx].row_hi)
+            ]
+        )
+        digests.append(np.asarray(p2.hash_rows_host(jnp.asarray(rows))))
+    deferred_paths: List[tuple] = []
+    qn = [0]  # ordinal of the query currently being opened
+
     query_state: Dict[int, Dict] = {}  # per active query: verified rows
     query_iter = iter(opening.queries)
     current: Dict = {}
@@ -452,25 +469,25 @@ def verify_openings(
 
     def open_input(pair_idx: int, log_N: int):
         if log_N == log_N_max:
-            # new query starts: pull the next query's row set and verify
-            # every matrix's paths once
+            # new query starts: pull the next query's row set; its path
+            # checks are deferred into the batched verification
             current.clear()
             pq = next(query_iter)
+            k = qn[0]
+            qn[0] += 1
             q = pair_idx
             rows_lo: Dict[int, np.ndarray] = {}
             rows_hi: Dict[int, np.ndarray] = {}
             for m_idx, (mq, root) in enumerate(zip(pq.per_matrix, roots)):
                 half = (1 << log_Ns[m_idx]) // 2
                 i_m = q % half
-                d_lo = np.asarray(p2.hash_rows_host(jnp.asarray(bb.np_to_mont(mq.row_lo)[None, :])))[0]
-                d_hi = np.asarray(p2.hash_rows_host(jnp.asarray(bb.np_to_mont(mq.row_hi)[None, :])))[0]
                 depth = log_Ns[m_idx]
-                assert merkle.verify_path(
-                    root, i_m, d_lo, mq.path_lo, expected_depth=depth
-                ), "bad row path (lo)"
-                assert merkle.verify_path(
-                    root, i_m + half, d_hi, mq.path_hi, expected_depth=depth
-                ), "bad row path (hi)"
+                deferred_paths.append(
+                    (root, i_m, digests[m_idx][2 * k], mq.path_lo, depth)
+                )
+                deferred_paths.append(
+                    (root, i_m + half, digests[m_idx][2 * k + 1], mq.path_hi, depth)
+                )
                 rows_lo[m_idx] = mq.row_lo
                 rows_hi[m_idx] = mq.row_hi
             current["rows_lo"] = rows_lo
@@ -488,3 +505,5 @@ def verify_openings(
         )
 
     fri_mod.verify(opening.fri, sorted(set(log_Ns), reverse=True), config, challenger, open_input=open_input)
+    ok = merkle.verify_paths(deferred_paths)
+    assert ok.all(), f"bad row path (items {np.nonzero(~ok)[0][:4]})"

@@ -114,6 +114,12 @@ def profile_verify(
         prof.merkle_path_permutations += len(path)
         return real_verify_path(root, index, leaf_digest, path, expected_depth)
 
+    real_verify_paths = merkle.verify_paths
+
+    def verify_paths(items):
+        prof.merkle_path_permutations += sum(len(it[3]) for it in items)
+        return real_verify_paths(items)
+
     def hash_rows(matrix):
         n, w = matrix.shape
         prof.leaf_hash_permutations += n * max((w + p2.RATE - 1) // p2.RATE, 1)
@@ -138,6 +144,7 @@ def profile_verify(
     # patch module attributes (and the names verifier/pcs bound at import)
     patches = [
         (merkle, "verify_path", verify_path),
+        (merkle, "verify_paths", verify_paths),
         (p2, "hash_rows_host", hash_rows),
         (ext, "py_mul", py_mul),
         (ext, "py_inv", py_inv),

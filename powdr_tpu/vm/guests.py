@@ -308,30 +308,13 @@ def _rot64(L, lo, hi, n, t1, t2):
     L.append(("or", hi, hi, t2))
 
 
-def keccak_f_guest(seed: int = 42):
-    """One keccak-f[1600] permutation (guest-keccak counterpart).
-
-    State lanes as (lo, hi) 32-bit word pairs in RAM; theta/rho-pi/chi
-    fully unrolled inside a 24-iteration round loop walking the RC table."""
-    import random
-
-    rnd = random.Random(seed)
-    state = [rnd.getrandbits(64) for _ in range(25)]
-    expect = py_keccak_f(state)
-
-    mem = {}
-    for i, v in enumerate(state):
-        mem[_lane(KC_A, i)] = v & 0xFFFFFFFF
-        mem[_lane(KC_A, i) + 4] = v >> 32
-    for r, rc in enumerate(_KECCAK_RC):
-        mem[KC_RC + 8 * r] = rc & 0xFFFFFFFF
-        mem[KC_RC + 8 * r + 4] = rc >> 32
-
-    L: List = []
-    # x20 = RC pointer, x21 = RC end
+def _emit_keccak_f(L, round_label: str):
+    """Emit the 24-round keccak-f[1600] loop over the state at KC_A,
+    walking the RC table at KC_RC (x20 = RC pointer, x21 = end,
+    clobbers x1-x4)."""
     L.append(("lui", 20, 0, 0, KC_RC))
     L.append(("lui", 21, 0, 0, KC_RC + 8 * 24))
-    L.append("round:")
+    L.append(round_label + ":")
     # theta: C[x] = A[x] ^ A[x+5] ^ ... ^ A[x+20]
     for x in range(5):
         _load64(L, 1, 2, _lane(KC_A, x))
@@ -374,7 +357,35 @@ def keccak_f_guest(seed: int = 42):
     _xor64(L, 3, 4, 1, 2)
     _store64(L, 3, 4, _lane(KC_A, 0))
     L.append(("addi", 20, 20, 0, 8))
-    L.append(("bne", 0, 20, 21, "round"))
+    L.append(("bne", 0, 20, 21, round_label))
+
+
+def _keccak_rc_mem() -> Dict[int, int]:
+    mem = {}
+    for r, rc in enumerate(_KECCAK_RC):
+        mem[KC_RC + 8 * r] = rc & 0xFFFFFFFF
+        mem[KC_RC + 8 * r + 4] = rc >> 32
+    return mem
+
+
+def keccak_f_guest(seed: int = 42):
+    """One keccak-f[1600] permutation.
+
+    State lanes as (lo, hi) 32-bit word pairs in RAM; theta/rho-pi/chi
+    fully unrolled inside a 24-iteration round loop walking the RC table."""
+    import random
+
+    rnd = random.Random(seed)
+    state = [rnd.getrandbits(64) for _ in range(25)]
+    expect = py_keccak_f(state)
+
+    mem = _keccak_rc_mem()
+    for i, v in enumerate(state):
+        mem[_lane(KC_A, i)] = v & 0xFFFFFFFF
+        mem[_lane(KC_A, i) + 4] = v >> 32
+
+    L: List = []
+    _emit_keccak_f(L, "round")
     L.append(("halt",))
 
     def check(result):
@@ -383,6 +394,72 @@ def keccak_f_guest(seed: int = 42):
             hi = result.final_mem[(2, _lane(KC_A, i) + 4)][1]
             got = lo | (hi << 32)
             assert got == expect[i], (i, hex(got), hex(expect[i]))
+
+    return assemble(L), mem, check
+
+
+KC_OUT = 0x900  # chained-keccak256 32-byte output buffer (4 lanes)
+
+
+def py_keccak256_32(data32: bytes) -> bytes:
+    """keccak-256 of a 32-byte message (single-block absorb: rate 136,
+    pad 0x01 at byte 32, 0x80 at byte 135; squeeze 32 bytes)."""
+    lanes = [0] * 25
+    for i in range(4):
+        lanes[i] = int.from_bytes(data32[8 * i : 8 * i + 8], "little")
+    lanes[4] ^= 0x01
+    lanes[16] ^= 0x8000000000000000
+    out = py_keccak_f(lanes)
+    return b"".join(int(out[i]).to_bytes(8, "little") for i in range(4))
+
+
+def keccak_guest(n: int = 8):
+    """Chained keccak256 over a 32-byte state — the reference guest's
+    semantics (/root/reference/openvm-riscv/guest-keccak/src/main.rs:11-21:
+    output = keccak256(output) repeated n times, starting from zeros; the
+    tiny_keccak Keccak::v256 path).  Each iteration zeroes the sponge
+    state, absorbs the 32-byte buffer with keccak padding, runs
+    keccak-f[1600], and squeezes the first four lanes back to the buffer."""
+    expect = bytes(32)
+    for _ in range(n):
+        expect = py_keccak256_32(expect)
+
+    mem = _keccak_rc_mem()
+    for i in range(8):
+        mem[KC_OUT + 4 * i] = 0  # output buffer starts as 32 zero bytes
+
+    L: List = []
+    # x22 = iteration counter, x23 = n
+    L.append(("addi", 22, 0, 0, 0))
+    L.append(("lui", 23, 0, 0, n))
+    L.append("iter:")
+    # zero the 25-lane state
+    for i in range(25):
+        L.append(("sw", 0, 0, 0, _lane(KC_A, i)))
+        L.append(("sw", 0, 0, 0, _lane(KC_A, i) + 4))
+    # absorb the 32-byte buffer into lanes 0..3 (state is zero: copy)
+    for i in range(4):
+        _load64(L, 1, 2, KC_OUT + 8 * i)
+        _store64(L, 1, 2, _lane(KC_A, i))
+    # keccak padding for a 32-byte message at rate 136
+    L.append(("addi", 1, 0, 0, 1))
+    L.append(("sw", 0, 0, 1, _lane(KC_A, 4)))
+    L.append(("lui", 1, 0, 0, 0x80000000))
+    L.append(("sw", 0, 0, 1, _lane(KC_A, 16) + 4))
+    _emit_keccak_f(L, "round")
+    # squeeze lanes 0..3 back into the buffer
+    for i in range(4):
+        _load64(L, 1, 2, _lane(KC_A, i))
+        _store64(L, 1, 2, KC_OUT + 8 * i)
+    L.append(("addi", 22, 22, 0, 1))
+    L.append(("bne", 0, 22, 23, "iter"))
+    L.append(("halt",))
+
+    def check(result):
+        got = b""
+        for i in range(8):
+            got += int(result.final_mem[(2, KC_OUT + 4 * i)][1]).to_bytes(4, "little")
+        assert got == expect, (got.hex(), expect.hex())
 
     return assemble(L), mem, check
 
