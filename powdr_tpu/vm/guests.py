@@ -667,7 +667,35 @@ PR_I = _PR + 0x100
 PR_OUT0, PR_OUT1 = _PR + 0x120, _PR + 0x140
 
 
-def pairing_guest(iters: int = 64, seed: int = 11):
+def pairing_guest(truncate: "int | None" = None, a_scal: int = 31, b_scal: int = 5):
+    """REAL BN254 optimal-ate pairing e(a*G1, b*G2) — the guest-pairing
+    counterpart (/root/reference/openvm-riscv/guest-pairing/src/main.rs:
+    Miller loop with line evaluations, Fp12 tower, final exponentiation).
+    ~61M instructions full; `truncate=k` runs only the first k Miller
+    digits without the final exponentiation (CI-sized, same code paths).
+    check() compares the Fp12 output against the bilinearity-validated
+    python reference (vm/bn254.py)."""
+    from . import bn254 as bn
+    from . import pairing_emit as pe
+
+    P = bn.g1_mul(bn.G1, a_scal)
+    Q = bn.g2_mul((bn.G2_X, bn.G2_Y), b_scal)
+    lines, mem = pe.emit_pairing_program(
+        P, Q, truncate_naf=truncate, final_exp=truncate is None
+    )
+    if truncate is None:
+        want = bn.pairing(P, Q)
+    else:
+        want = bn.miller_loop_projective(P, Q, truncate=truncate)
+
+    def check(result):
+        got = pe.read_out12(result)
+        assert got == want, "pairing output mismatch"
+
+    return assemble(lines), mem, check
+
+
+def fp2_ladder_guest(iters: int = 64, seed: int = 11):
     """64-round Fp2 square-and-multiply ladder over BN254 (u^2 = -1):
     f <- f^2 * g.  check() compares against a python Fp2 reference."""
     import random

@@ -401,33 +401,62 @@ def test_segmentation_tampered_refresh_fails():
         mock_check(chips)
 
 
-def test_guest_pairing_small():
-    """Fp2 ladder over BN254 (pairing-shaped workload, 2 rounds):
+def test_guest_fp2_ladder_small():
+    """Fp2 ladder over BN254 (pairing-shaped warm-up, 2 rounds):
     Montgomery CIOS field core + mock check."""
     from powdr_tpu.vm.executor_native import run_native_columnar
-    from powdr_tpu.vm.guests import pairing_guest
+    from powdr_tpu.vm.guests import fp2_ladder_guest
 
     from powdr_tpu.vm.isa import SEG_STEPS
 
-    prog, mem, check = pairing_guest(iters=2)
+    prog, mem, check = fp2_ladder_guest(iters=2)
     res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS)
+    check(res)
+    mock_check(build_chips(prog, res))
+
+
+def test_guest_pairing_truncated():
+    """REAL BN254 pairing code paths (projective Miller loop with line
+    evaluations over the Fp12 tower), truncated to one digit (~430k
+    instructions); Fp12 output matches the bilinearity-validated python
+    reference."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import pairing_guest
+
+    prog, mem, check = pairing_guest(truncate=1)
+    res = run_native_columnar(prog, mem)
+    check(res)
+
+
+@pytest.mark.slow
+def test_guest_pairing():
+    """BN254 Miller loop prefix at ecrecover scale (16 digits, ~10M
+    instructions, segmented) mock-checked end to end; the full pairing
+    (61M instructions incl. final exponentiation) runs in
+    test_guest_pairing_full."""
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.guests import pairing_guest
+    from powdr_tpu.vm.isa import SEG_STEPS
+
+    prog, mem, check = pairing_guest(truncate=16)
+    res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS, max_steps=1 << 24)
+    assert res.instret > 5 * SEG_STEPS
     check(res)
     mock_check(build_chips(prog, res))
 
 
 @pytest.mark.slow
-def test_guest_pairing():
-    """Full 64-round BN254 Fp2 ladder (~1M instructions, segmented) —
-    the guest-pairing BASELINE counterpart; mock-checked end to end."""
+def test_guest_pairing_full():
+    """The COMPLETE optimal-ate pairing (Miller loop + Frobenius lines +
+    final exponentiation, ~61M instructions): executes natively and the
+    Fp12 result equals e(aP, bQ) from the python reference.  Witness
+    generation for traces this size goes through segment proving."""
     from powdr_tpu.vm.executor_native import run_native_columnar
     from powdr_tpu.vm.guests import pairing_guest
-    from powdr_tpu.vm.isa import SEG_STEPS
 
     prog, mem, check = pairing_guest()
-    res = run_native_columnar(prog, mem, segment_steps=SEG_STEPS)
-    assert res.instret > 5 * SEG_STEPS
+    res = run_native_columnar(prog, mem, max_steps=1 << 27)
     check(res)
-    mock_check(build_chips(prog, res))
 
 
 @pytest.mark.slow
