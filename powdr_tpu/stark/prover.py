@@ -52,6 +52,14 @@ class Proof:
     chips: List[ChipProof]
     pcs: pcs.PcsOpening
     publics: Optional[List[List[int]]] = None  # per-chip public values
+    #: segmented proofs (bounded-memory continuations): chip counts per
+    #: segment and one PCS/FRI opening per segment; `pcs` is then unused.
+    #: All segments share one transcript — the LogUp challenges are drawn
+    #: after EVERY segment's main commitment, so bus flows cancel ACROSS
+    #: segments (the continuation axis of the reference's
+    #: SegmentationLimits, openvm-riscv/src/lib.rs:270-283)
+    segments: Optional[List[int]] = None
+    pcs_parts: Optional[List[pcs.PcsOpening]] = None
 
 
 # ---------------------------------------------------------------------------
@@ -308,6 +316,7 @@ def prove(
     challenger: Challenger,
     publics: Optional[Sequence[Optional[List[int]]]] = None,
     commit_fn=None,
+    segments: Optional[List[int]] = None,
 ) -> Proof:
     """publics: per-chip lists of canonical public values (bound into the
     transcript before any commitment round).
@@ -315,13 +324,32 @@ def prove(
     commit_fn(evals, config, shift_pow=) overrides the PCS commitment —
     the mesh-sharded prover (powdr_tpu.parallel.prover) injects its
     sharded LDE+Merkle here; every other stage is sharding-agnostic jnp
-    and partitions automatically from the committed arrays' shardings."""
+    and partitions automatically from the committed arrays' shardings.
+
+    segments: chip counts per segment.  With S>1 segments the proof
+    carries one PCS/FRI opening per segment, and the perm/quotient/open
+    working set is bounded by the largest segment instead of the whole
+    run; LogUp balance holds across segments because alpha/beta are
+    sampled after every segment's main commitments."""
     if commit_fn is None:
         commit_fn = pcs.commit
     publics = list(publics) if publics is not None else [None] * len(chips)
     log_ns = [int(np.log2(t.shape[0])) for _, t in chips]
     log_n_max = max(log_ns)
     shift_pows = [log_n_max - l for l in log_ns]
+    if segments is not None:
+        assert sum(segments) == len(chips), "segment sizes must cover chips"
+        # shift_pows are relative to each segment's own FRI batch (each
+        # segment opens with its own mixed-height fold)
+        bounds = np.cumsum([0] + list(segments))
+        slices = [slice(int(a), int(b)) for a, b in zip(bounds[:-1], bounds[1:])]
+        shift_pows = list(shift_pows)
+        for sl in slices:
+            seg_max = max(log_ns[sl.start : sl.stop])
+            for i in range(sl.start, sl.stop):
+                shift_pows[i] = seg_max - log_ns[i]
+    else:
+        slices = [slice(0, len(chips))]
 
     challenger.observe(len(chips))
     for (a, t), ln, pub in zip(chips, log_ns, publics):
@@ -374,90 +402,106 @@ def prove(
     alpha = challenger.sample_ext()
     beta = challenger.sample_ext()
 
-    # round 2: permutation traces (commit all, then one fetch for
-    # roots + totals — transcript order per chip is root, total)
-    groups_per_chip: List[List[List[int]]] = []
-    totals: List[Optional[ExtVal]] = []
-    total_devs = []
-    perm_entries = []
-    for (a, t), sp, pre_cm in zip(chips, shift_pows, pres):
-        if a.interactions:
-            groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
-            perm, total = build_perm_trace(
-                a, t, groups, alpha, beta,
-                pre_trace=pre_cm.evals if pre_cm is not None else None,
-                defer_total=True,
+    openings: List[pcs.PcsOpening] = []
+    all_perms: List[Optional[pcs.CommittedMatrix]] = []
+    all_quotients: List[pcs.CommittedMatrix] = []
+    all_totals: List[ExtVal] = []
+    for sl in slices:
+        # round 2: permutation traces for this segment (commit all, then
+        # one fetch for roots + totals — transcript order per chip is
+        # root, total)
+        groups_per_chip: List[List[List[int]]] = []
+        totals: List[Optional[ExtVal]] = []
+        total_devs = []
+        perm_entries = []
+        for (a, t), sp, pre_cm in zip(
+            chips[sl], shift_pows[sl.start : sl.stop], pres[sl]
+        ):
+            if a.interactions:
+                groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
+                perm, total = build_perm_trace(
+                    a, t, groups, alpha, beta,
+                    pre_trace=pre_cm.evals if pre_cm is not None else None,
+                    defer_total=True,
+                )
+                perm_entries.append((perm, sp))
+                groups_per_chip.append(groups)
+                total_devs.append(total)
+                totals.append(None)
+            else:
+                perm_entries.append((None, sp))
+                groups_per_chip.append([])
+                totals.append((0, 0, 0, 0))
+        perms = pcs.commit_round(perm_entries, config, commit_fn=batched_fn)
+        live = [cm for cm in perms if cm is not None]
+        fetched = jax.device_get([[cm.root for cm in live], total_devs])
+        for cm, r in zip(live, fetched[0]):
+            cm.root = np.asarray(r)
+        it = iter(fetched[1])
+        for i, cm in enumerate(perms):
+            if cm is not None:
+                t_can = tuple(int(v) for v in bb.np_from_mont(np.asarray(next(it))))
+                totals[i] = t_can
+                challenger.observe_digest(cm.root)
+                challenger.observe_ext(t_can)
+
+        alpha_q = challenger.sample_ext()
+
+        # round 3: quotients for this segment
+        q_entries = []
+        for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm, pub in zip(
+            chips[sl], mains[sl], perms, groups_per_chip, totals,
+            log_ns[sl.start : sl.stop], shift_pows[sl.start : sl.stop],
+            pres[sl], publics[sl],
+        ):
+            logup_cons: List[ir.Expr] = []
+            challenges: Dict[str, ExtVal] = {}
+            if a.interactions:
+                logup_cons, _ = air_mod.logup_constraints(a, groups)
+                challenges = {ALPHA_LOGUP: alpha, BETA_LOGUP: beta, TOTAL_LOGUP: total}
+            qm = compute_quotient(
+                a,
+                logup_cons,
+                main_cm.lde,
+                perm_cm.lde if perm_cm else None,
+                challenges,
+                alpha_q,
+                ln,
+                config,
+                shift_pow=sp,
+                lde_pre=pre_cm.lde if pre_cm is not None else None,
+                publics=pub,
             )
-            perm_entries.append((perm, sp))
-            groups_per_chip.append(groups)
-            total_devs.append(total)
-            totals.append(None)
-        else:
-            perm_entries.append((None, sp))
-            groups_per_chip.append([])
-            totals.append((0, 0, 0, 0))
-    perms = pcs.commit_round(perm_entries, config, commit_fn=batched_fn)
-    live = [cm for cm in perms if cm is not None]
-    fetched = jax.device_get([[cm.root for cm in live], total_devs])
-    for cm, r in zip(live, fetched[0]):
-        cm.root = np.asarray(r)
-    it = iter(fetched[1])
-    for i, cm in enumerate(perms):
-        if cm is not None:
-            t_can = tuple(int(v) for v in bb.np_from_mont(np.asarray(next(it))))
-            totals[i] = t_can
-            challenger.observe_digest(cm.root)
-            challenger.observe_ext(t_can)
+            q_entries.append((qm, sp))
+        quotients = pcs.commit_round(q_entries, config, commit_fn=batched_fn)
+        observe_roots(quotients)
 
-    alpha_q = challenger.sample_ext()
+        zeta = challenger.sample_ext()
 
-    # round 3: quotients (compute all, then one batched commit round)
-    q_entries = []
-    for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm, pub in zip(
-        chips, mains, perms, groups_per_chip, totals, log_ns, shift_pows, pres, publics
-    ):
-        logup_cons: List[ir.Expr] = []
-        challenges: Dict[str, ExtVal] = {}
-        if a.interactions:
-            logup_cons, _ = air_mod.logup_constraints(a, groups)
-            challenges = {ALPHA_LOGUP: alpha, BETA_LOGUP: beta, TOTAL_LOGUP: total}
-        qm = compute_quotient(
-            a,
-            logup_cons,
-            main_cm.lde,
-            perm_cm.lde if perm_cm else None,
-            challenges,
-            alpha_q,
-            ln,
-            config,
-            shift_pow=sp,
-            lde_pre=pre_cm.lde if pre_cm is not None else None,
-            publics=pub,
-        )
-        q_entries.append((qm, sp))
-    quotients = pcs.commit_round(q_entries, config, commit_fn=batched_fn)
-    observe_roots(quotients)
-
-    zeta = challenger.sample_ext()
-
-    # round 4: batch opening (zeta_next differs per chip height)
-    matrices = []
-    points = []
-    for main_cm, perm_cm, q_cm, ln, pre_cm in zip(mains, perms, quotients, log_ns, pres):
-        w_n = bb.py_root_of_unity(ln)
-        zeta_next = tuple(v * w_n % bb.P for v in zeta)
-        if pre_cm is not None:
-            matrices.append(pre_cm)
+        # round 4: batch opening for this segment (zeta_next differs per
+        # chip height)
+        matrices = []
+        points = []
+        for main_cm, perm_cm, q_cm, ln, pre_cm in zip(
+            mains[sl], perms, quotients, log_ns[sl.start : sl.stop], pres[sl]
+        ):
+            w_n = bb.py_root_of_unity(ln)
+            zeta_next = tuple(v * w_n % bb.P for v in zeta)
+            if pre_cm is not None:
+                matrices.append(pre_cm)
+                points.append([zeta, zeta_next])
+            matrices.append(main_cm)
             points.append([zeta, zeta_next])
-        matrices.append(main_cm)
-        points.append([zeta, zeta_next])
-        if perm_cm is not None:
-            matrices.append(perm_cm)
-            points.append([zeta, zeta_next])
-        matrices.append(q_cm)
-        points.append([zeta])
+            if perm_cm is not None:
+                matrices.append(perm_cm)
+                points.append([zeta, zeta_next])
+            matrices.append(q_cm)
+            points.append([zeta])
 
-    opening = pcs.open_matrices(matrices, points, config, challenger)
+        openings.append(pcs.open_matrices(matrices, points, config, challenger))
+        all_perms.extend(perms)
+        all_quotients.extend(quotients)
+        all_totals.extend(totals)
 
     chip_proofs = [
         ChipProof(
@@ -467,12 +511,14 @@ def prove(
             logup_total=tot,
             pre_root=pre.root if pre else None,
         )
-        for m, p, q, tot, pre in zip(mains, perms, quotients, totals, pres)
+        for m, p, q, tot, pre in zip(mains, all_perms, all_quotients, all_totals, pres)
     ]
     return Proof(
         log_n=log_ns,
         chip_widths=[a.width for a, _ in chips],
         chips=chip_proofs,
-        pcs=opening,
+        pcs=openings[0] if segments is None else None,
         publics=publics,
+        segments=segments,
+        pcs_parts=openings if segments is not None else None,
     )

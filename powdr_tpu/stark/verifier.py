@@ -82,78 +82,105 @@ def verify(
     alpha = challenger.sample_ext()
     beta = challenger.sample_ext()
 
+    if proof.segments is not None:
+        assert sum(proof.segments) == len(airs), "segment sizes must cover chips"
+        assert proof.pcs_parts is not None and len(proof.pcs_parts) == len(proof.segments)
+        bounds = np.cumsum([0] + list(proof.segments))
+        seg_slices = [slice(int(x), int(y)) for x, y in zip(bounds[:-1], bounds[1:])]
+        openings = proof.pcs_parts
+    else:
+        seg_slices = [slice(0, len(airs))]
+        openings = [proof.pcs]
+
     total_sum: ExtVal = (0, 0, 0, 0)
-    groups_per_chip = []
-    for a, cp in zip(airs, proof.chips):
-        if a.interactions:
-            assert cp.perm_root is not None
-            challenger.observe_digest(cp.perm_root)
-            challenger.observe_ext(cp.logup_total)
-            total_sum = py_ext_add(total_sum, cp.logup_total)
-            groups_per_chip.append(air_mod.batch_interactions(a, config.bus_interaction_degree))
-        else:
-            assert cp.perm_root is None
-            assert cp.logup_total == (0, 0, 0, 0)
-            groups_per_chip.append([])
+    groups_all: List[list] = [None] * len(airs)
+    chal_per_chip: List[Tuple[ExtVal, ExtVal]] = [None] * len(airs)
+    value_lists: List[list] = [None] * len(airs)  # opened values per chip
+
+    for sl, opening in zip(seg_slices, openings):
+        seg_log_max = max(log_ns[sl.start : sl.stop])
+        for i in range(sl.start, sl.stop):
+            a, cp = airs[i], proof.chips[i]
+            if a.interactions:
+                assert cp.perm_root is not None
+                challenger.observe_digest(cp.perm_root)
+                challenger.observe_ext(cp.logup_total)
+                total_sum = py_ext_add(total_sum, cp.logup_total)
+                groups_all[i] = air_mod.batch_interactions(a, config.bus_interaction_degree)
+            else:
+                assert cp.perm_root is None
+                assert cp.logup_total == (0, 0, 0, 0)
+                groups_all[i] = []
+
+        alpha_q = challenger.sample_ext()
+        for i in range(sl.start, sl.stop):
+            challenger.observe_digest(proof.chips[i].quotient_root)
+
+        zeta = challenger.sample_ext()
+
+        # reconstruct this segment's PCS matrix list
+        roots: List[np.ndarray] = []
+        points: List[List[ExtVal]] = []
+        widths: List[int] = []
+        mat_log_ns: List[int] = []
+        for i in range(sl.start, sl.stop):
+            a, cp, ln = airs[i], proof.chips[i], log_ns[i]
+            chal_per_chip[i] = (alpha_q, zeta)
+            w_n = bb.py_root_of_unity(ln)
+            zeta_next = tuple(v * w_n % bb.P for v in zeta)
+            if a.preprocessed is not None:
+                roots.append(cp.pre_root)
+                points.append([zeta, zeta_next])
+                widths.append(a.preprocessed_width)
+                mat_log_ns.append(ln)
+            roots.append(cp.main_root)
+            points.append([zeta, zeta_next])
+            widths.append(a.width)
+            mat_log_ns.append(ln)
+            if a.interactions:
+                roots.append(cp.perm_root)
+                points.append([zeta, zeta_next])
+                widths.append(4 * (len(groups_all[i]) + 1))
+                mat_log_ns.append(ln)
+            roots.append(cp.quotient_root)
+            points.append([zeta])
+            widths.append(4 * config.blowup)
+            mat_log_ns.append(ln)
+
+        assert len(opening.values) == len(roots), "opening count mismatch"
+        for vals, w, zs in zip(opening.values, widths, points):
+            assert len(vals) == len(zs)
+            for v in vals:
+                assert v.shape == (w, 4), "opened width mismatch"
+
+        pcs.verify_openings(roots, points, opening, mat_log_ns, config, challenger)
+
+        # distribute the opened value lists back to chips
+        v_idx = 0
+        for i in range(sl.start, sl.stop):
+            a = airs[i]
+            n_mats = 2 + (1 if a.preprocessed is not None else 0) + (1 if a.interactions else 0)
+            value_lists[i] = opening.values[v_idx : v_idx + n_mats]
+            v_idx += n_mats
+
     assert total_sum == (0, 0, 0, 0), "LogUp bus imbalance"
 
-    alpha_q = challenger.sample_ext()
-    for cp in proof.chips:
-        challenger.observe_digest(cp.quotient_root)
-
-    zeta = challenger.sample_ext()
-
-    # reconstruct the PCS matrix list (roots, widths, points, heights)
-    roots: List[np.ndarray] = []
-    points: List[List[ExtVal]] = []
-    widths: List[int] = []
-    mat_log_ns: List[int] = []
-    for a, cp, groups, ln in zip(airs, proof.chips, groups_per_chip, log_ns):
-        w_n = bb.py_root_of_unity(ln)
-        zeta_next = tuple(v * w_n % bb.P for v in zeta)
-        if a.preprocessed is not None:
-            roots.append(cp.pre_root)
-            points.append([zeta, zeta_next])
-            widths.append(a.preprocessed_width)
-            mat_log_ns.append(ln)
-        roots.append(cp.main_root)
-        points.append([zeta, zeta_next])
-        widths.append(a.width)
-        mat_log_ns.append(ln)
-        if a.interactions:
-            roots.append(cp.perm_root)
-            points.append([zeta, zeta_next])
-            widths.append(4 * (len(groups) + 1))
-            mat_log_ns.append(ln)
-        roots.append(cp.quotient_root)
-        points.append([zeta])
-        widths.append(4 * config.blowup)
-        mat_log_ns.append(ln)
-
-    assert len(proof.pcs.values) == len(roots), "opening count mismatch"
-    for vals, w, zs in zip(proof.pcs.values, widths, points):
-        assert len(vals) == len(zs)
-        for v in vals:
-            assert v.shape == (w, 4), "opened width mismatch"
-
-    pcs.verify_openings(roots, points, proof.pcs, mat_log_ns, config, challenger)
-
     # per-chip constraint check at zeta
-    m_idx = 0
-    for a, cp, groups, ln, pub in zip(airs, proof.chips, groups_per_chip, log_ns, publics):
+    for a, cp, groups, ln, pub, (alpha_q, zeta), chip_vals in zip(
+        airs, proof.chips, groups_all, log_ns, publics, chal_per_chip, value_lists
+    ):
         n = 1 << ln
         sel = air_mod.selectors_at_point(zeta, ln)
         z_h = sel["z_h"]
+        vals_iter = iter(chip_vals)
         pre_at = None
         if a.preprocessed is not None:
-            pre_vals = proof.pcs.values[m_idx]
-            m_idx += 1
+            pre_vals = next(vals_iter)
             pre_at = {}
             for i in range(a.preprocessed_width):
                 pre_at[(i, 0)] = tuple(int(v) for v in pre_vals[0][i])
                 pre_at[(i, 1)] = tuple(int(v) for v in pre_vals[1][i])
-        main_vals = proof.pcs.values[m_idx]
-        m_idx += 1
+        main_vals = next(vals_iter)
         main_at = {}
         for i in range(a.width):
             main_at[(i, 0)] = tuple(int(v) for v in main_vals[0][i])
@@ -162,8 +189,7 @@ def verify(
         logup_cons: List[ir.Expr] = []
         challenges: Dict[str, ExtVal] = {}
         if a.interactions:
-            perm_vals = proof.pcs.values[m_idx]
-            m_idx += 1
+            perm_vals = next(vals_iter)
             n_perm_ext = len(groups) + 1
             for k in range(n_perm_ext):
                 perm_at[(k, 0)] = _ext_from_base_cols(perm_vals[0], k)
@@ -174,8 +200,7 @@ def verify(
                 BETA_LOGUP: beta,
                 TOTAL_LOGUP: cp.logup_total,
             }
-        q_vals = proof.pcs.values[m_idx]
-        m_idx += 1
+        q_vals = next(vals_iter)
 
         pub_map = dict(enumerate(pub)) if pub else None
         alg = air_mod.host_algebra(

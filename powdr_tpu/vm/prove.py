@@ -132,6 +132,21 @@ def verify_chips(
     stark_verifier.verify(airs, proof, config, ch, vk=vk)
 
 
+def prove_chips_segmented(
+    segments: List[List[Chip]], config: StarkConfig
+) -> Tuple[List[Air], stark_prover.Proof]:
+    """Continuation proving: one shared-transcript proof with a PCS/FRI
+    opening per segment (see stark.prover.prove segments=...); pair with
+    vm.system.build_chip_segments.  Verification is the unchanged
+    verify_chips — the proof carries its segment structure."""
+    compiled = [compile_chip(c) for seg in segments for c in seg]
+    ch = Challenger()
+    proof = stark_prover.prove(
+        compiled, config, ch, segments=[len(s) for s in segments]
+    )
+    return [a for a, _ in compiled], proof
+
+
 def prove_chips_aggregated(chips: List[Chip], config: StarkConfig):
     """Prove the VM chips, then wrap the proof in an aggregation proof:
     the full STARK verification of the app proof re-runs inside the

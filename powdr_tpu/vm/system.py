@@ -434,6 +434,116 @@ def mock_check(chips: List[Chip]) -> None:
 # -- full system assembly -----------------------------------------------------
 
 
+def _filter_rec(rec: dict, mask: np.ndarray) -> dict:
+    out = {}
+    for k, v in rec.items():
+        if k == "prev_ts":
+            out[k] = [np.asarray(a)[mask] for a in v]
+        else:
+            out[k] = np.asarray(v)[mask]
+    return out
+
+
+def build_chip_segments(
+    program: List[Instruction],
+    result: ExecutionResult,
+    max_rows_per_segment: int = 1 << 20,
+) -> List[List[Chip]]:
+    """Split the run's instruction chips into bounded-size proof segments
+    (epoch bands); global chips (program, boundaries, refresh, periphery)
+    ride in the LAST segment.  Consumed by prove(segments=...) — the
+    shared-transcript continuation prover (the reference proves each
+    segment with its own STARK, trace_generation.rs:37-103; here the
+    segments share one transcript so bus flows cancel across them)."""
+    E = result.epoch_ticks
+    recs = result.records_columnar
+    if not E or recs is None:
+        return [build_chips(program, result)]
+    from .witgen_vec import registry_vec
+
+    vec = registry_vec()
+    # per-epoch row counts
+    n_ep = 1
+    eps: Dict[str, np.ndarray] = {}
+    for op, rec in recs.items():
+        ts = np.asarray(rec["ts"], dtype=np.int64)
+        if not len(ts):
+            continue
+        ep = (ts - 1) // E
+        eps[op] = ep
+        n_ep = max(n_ep, int(ep.max()) + 1)
+    rows_per_ep = np.zeros(n_ep, dtype=np.int64)
+    for op, ep in eps.items():
+        np.add.at(rows_per_ep, ep, 1)
+    # greedy epoch bands under the row budget
+    bands: List[Tuple[int, int]] = []
+    cur, acc = 0, 0
+    for epi in range(n_ep):
+        if acc and acc + rows_per_ep[epi] > max_rows_per_segment:
+            bands.append((cur, epi))
+            cur, acc = epi, 0
+        acc += int(rows_per_ep[epi])
+    bands.append((cur, n_ep))
+
+    segments: List[List[Chip]] = []
+    for lo, hi in bands:
+        seg: List[Chip] = []
+        for op, (builder, _wg) in registry().items():
+            rec = recs.get(op)
+            if rec is None or len(rec["pc"]) == 0 or op not in eps:
+                continue
+            mask = (eps[op] >= lo) & (eps[op] < hi)
+            if not mask.any():
+                continue
+            sub = _filter_rec(rec, mask)
+            out = vec[op](sub)
+            n = len(sub["pc"])
+            zeros = np.zeros(n, dtype=np.uint64)
+            trace = {
+                c: (np.asarray(out[c], dtype=np.uint64) % P if c in out else zeros)
+                for c in builder.cols
+            }
+            seg.append(
+                Chip(name=op, machine=builder.machine(), cols=builder.cols, trace=_pad_pow2(trace))
+            )
+        segments.append(seg)
+
+    last = segments[-1]
+    last.append(program_chip(program, result.pc_trace, pc_base=result.pc_base))
+    last.append(exec_boundary_chip(start_pc=result.start_pc))
+    last.append(memory_boundary_chip(result))
+    if result.mem_refresh is not None and len(result.mem_refresh["seg"]):
+        last.append(mem_refresh_chip(result.mem_refresh, result.epoch_ticks))
+    if result.exec_refresh is not None and len(result.exec_refresh["seg"]):
+        last.append(exec_refresh_chip(result.exec_refresh, result.epoch_ticks))
+    # periphery counts over EVERY segment's chips
+    range_counts = np.zeros((1 << (MAX_RANGE_BITS + 1)) - 1, dtype=np.int64)
+    bitwise_counts = np.zeros(2 * 65536, dtype=np.int64)
+    pow2_counts = np.zeros(33, dtype=np.int64)
+
+    def _accum(dst: np.ndarray, idx: np.ndarray, mult: np.ndarray):
+        m = mult != 0
+        if m.any():
+            np.add.at(dst, np.asarray(idx)[m].astype(np.int64), mult[m].astype(np.int64))
+
+    for seg in segments:
+        for chip in seg:
+            _, ints = evaluate_chip_exprs(chip)
+            for bus_id, mult, args in ints:
+                if bus_id == RANGE_BUS:
+                    _accum(range_counts, (np.int64(1) << args[1].astype(np.int64)) - 1 + args[0].astype(np.int64), mult)
+                elif bus_id == BITWISE_BUS:
+                    _accum(bitwise_counts, args[3].astype(np.int64) * 65536 + args[0].astype(np.int64) * 256 + args[1].astype(np.int64), mult)
+                elif bus_id == POW2_BUS:
+                    _accum(pow2_counts, args[0], mult)
+    last.append(range_checker_chip(range_counts))
+    if bitwise_counts.any():
+        last.append(bitwise_chip(bitwise_counts))
+    if pow2_counts.any():
+        last.append(pow2_chip(pow2_counts))
+    return segments
+
+
 def build_chips(program: List[Instruction], result: ExecutionResult) -> List[Chip]:
     chips = instruction_chips(result)
     chips.append(program_chip(program, result.pc_trace, pc_base=result.pc_base))

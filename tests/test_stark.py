@@ -257,3 +257,53 @@ def test_fuzzed_proof_bytes_never_verify():
         except Exception:
             continue
         assert canon(p) == orig, f"corrupted-and-different proof accepted (trial {trial})"
+
+
+def test_segmented_proof_cross_segment_bus(rng):
+    """Segmented (continuation) proving: sender and its lookup table land
+    in DIFFERENT segments, each with its own PCS/FRI opening; the shared
+    transcript makes the LogUp flows cancel across segments.  Tampering
+    one segment's total must break the global balance."""
+    from powdr_tpu.stark import serialize
+
+    n = 32
+    s, r = lookup_pair(n, rng)
+    proof = prover.prove([s, r], CFG, Challenger(), segments=[1, 1])
+    assert proof.segments == [1, 1] and len(proof.pcs_parts) == 2
+    blob = serialize.proof_to_bytes(proof)
+    proof2 = serialize.proof_from_bytes(blob)
+    verifier.verify([s[0], r[0]], proof2, CFG, Challenger())
+    bad = serialize.proof_from_bytes(blob)
+    t = list(bad.chips[0].logup_total)
+    t[0] = (t[0] + 1) % bb.P
+    bad.chips[0].logup_total = tuple(t)
+    with pytest.raises(AssertionError):
+        verifier.verify([s[0], r[0]], bad, CFG, Challenger())
+
+
+def test_segmented_mixed_heights(rng):
+    """Each segment folds its own mixed-height FRI batch: heights differ
+    within and across segments."""
+    n_send, n_table = 32, 8
+    vals = rng.integers(0, n_table, size=n_send)
+    send_air = Air(
+        width=1,
+        constraints=[],
+        interactions=[air_mod.send(7, ir.Const(1), [ir.Col(0)])],
+        name="sender",
+    )
+    counts = np.bincount(vals, minlength=n_table).astype(np.uint32)
+    recv_air = Air(
+        width=2,
+        constraints=[],
+        interactions=[air_mod.receive(7, ir.Col(1), [ir.Col(0)])],
+        name="table",
+    )
+    fib_air, fib_trace = fib_air_and_trace(16)
+    chips = [
+        (send_air, mont(vals.reshape(-1, 1))),
+        (fib_air, fib_trace),
+        (recv_air, mont(np.stack([np.arange(n_table, dtype=np.uint32), counts], axis=1))),
+    ]
+    proof = prover.prove(chips, CFG, Challenger(), segments=[2, 1])
+    verifier.verify([a for a, _ in chips], proof, CFG, Challenger())

@@ -89,6 +89,40 @@ def small_tables():
 
 
 @pytest.mark.slow
+def test_segmented_stark_proof(small_tables):
+    """Continuation proving: a multi-epoch run split into bounded proof
+    segments sharing one transcript; bus flows cancel ACROSS segments
+    (the reference's per-segment proving axis, trace_generation.rs:37-103).
+    Includes serialization roundtrip and cross-segment tamper rejection."""
+    from powdr_tpu.stark import serialize
+    from powdr_tpu.stark.config import StarkConfig
+    from powdr_tpu.vm.executor_native import run_native_columnar
+    from powdr_tpu.vm.prove import prove_chips_segmented, verify_chips
+    from powdr_tpu.vm.system import build_chip_segments
+
+    from powdr_tpu.cli import _guest
+
+    prog, mem, _ = _guest("loop")  # ~150 instructions
+    # small epochs: E = 16*8 = 128 ticks < 2^10 (the shrunk DT_BITS)
+    res = run_native_columnar(prog, mem, segment_steps=16)
+    segments = build_chip_segments(prog, res, max_rows_per_segment=64)
+    assert len(segments) >= 3, [len(s) for s in segments]
+    cfg = StarkConfig(log_blowup=2, num_queries=8, proof_of_work_bits=2)
+    airs, proof = prove_chips_segmented(segments, cfg)
+    assert proof.segments == [len(s) for s in segments]
+    blob = serialize.proof_to_bytes(proof)
+    proof2 = serialize.proof_from_bytes(blob)
+    verify_chips(airs, proof2, cfg)
+    # a logup total tampered in one segment must break the GLOBAL balance
+    bad = serialize.proof_from_bytes(blob)
+    t = list(bad.chips[0].logup_total)
+    t[0] = (t[0] + 1) % 2013265921
+    bad.chips[0].logup_total = tuple(t)
+    with pytest.raises(AssertionError):
+        verify_chips(airs, bad, cfg)
+
+
+@pytest.mark.slow
 def test_full_vm_stark_proof(small_tables):
     """Real STARK proof of a complete VM execution (the reference's
     prove_simple analog, openvm-riscv/src/lib.rs:259)."""
