@@ -49,7 +49,7 @@ def e2e_proof_metrics() -> dict:
 
     import signal
     out = {}
-    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "3000"))
+    budget = float(os.environ.get("BENCH_E2E_BUDGET_S", "4200"))
 
     def _alarm(signum, frame):
         raise TimeoutError("e2e budget exhausted")

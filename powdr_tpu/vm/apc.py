@@ -195,8 +195,6 @@ def find_occurrences(block: BasicBlock, result: ExecutionResult) -> List[List[in
     an epoch refresh between two of them breaks — those executions run on
     the plain instruction chips instead (the reference's segment-boundary
     analog: SegmentationLimits, openvm-riscv/src/lib.rs:270-283)."""
-    from .isa import TS_DELTA
-
     pcs = block.pcs
     seg_steps = result.epoch_ticks // TS_DELTA if result.epoch_ticks else 0
     out = []
@@ -283,11 +281,16 @@ def _compute_derived(machine: SymbolicMachine, vals: Dict[str, np.ndarray], n_ro
 def _vec_op_outputs(result: ExecutionResult):
     """Lazy per-opcode vectorized witgen outputs over columnar records:
     op -> {col: (n_op,) uint64}.  The columnar analog of calling the
-    per-row `wg` on every record of the opcode."""
+    per-row `wg` on every record of the opcode.  Memoized ON the
+    ExecutionResult: apc_chip, the optimistic filter, empirical.detect
+    and instruction_chips all consume the same outputs (ADVICE r2)."""
     from .witgen_vec import registry_vec
 
+    cache = getattr(result, "_vec_witgen_cache", None)
+    if cache is None:
+        cache = {}
+        object.__setattr__(result, "_vec_witgen_cache", cache)
     vec = registry_vec()
-    cache: Dict[str, Dict[str, np.ndarray]] = {}
 
     def get(op: str) -> Dict[str, np.ndarray]:
         out = cache.get(op)
@@ -449,29 +452,13 @@ def build_chips_with_apcs(
     if result.exec_refresh is not None and len(result.exec_refresh["seg"]):
         chips.append(system_mod.exec_refresh_chip(result.exec_refresh, result.epoch_ticks))
     chips.extend(apc_chips)
-    # periphery counts from everything built so far
-    range_counts: Dict[Tuple[int, int], int] = {}
-    bitwise_counts: Dict[Tuple[int, int, int, int], int] = {}
-    pow2_counts: Dict[int, int] = {}
-    from .isa import BITWISE_BUS, POW2_BUS, RANGE_BUS
-
-    for chip in chips:
-        _, ints = system_mod.evaluate_chip_exprs(chip)
-        for bus_id, mult, args in ints:
-            nz = np.nonzero(mult)[0]
-            for r in nz:
-                m = int(mult[r])
-                vals = tuple(int(a[r]) for a in args)
-                if bus_id == RANGE_BUS:
-                    key = (vals[0], vals[1])
-                    range_counts[key] = (range_counts.get(key, 0) + m) % P
-                elif bus_id == BITWISE_BUS:
-                    bitwise_counts[vals] = (bitwise_counts.get(vals, 0) + m) % P
-                elif bus_id == POW2_BUS:
-                    pow2_counts[vals[0]] = (pow2_counts.get(vals[0], 0) + m) % P
+    # periphery counts from everything built so far (shared vectorized
+    # histogram accumulation, ADVICE r2: the per-row python loop here had
+    # diverged from system.build_chips' scatter-add path)
+    range_counts, bitwise_counts, pow2_counts = system_mod.accumulate_periphery(chips)
     chips.append(system_mod.range_checker_chip(range_counts))
-    if bitwise_counts:
+    if bitwise_counts.any():
         chips.append(system_mod.bitwise_chip(bitwise_counts))
-    if pow2_counts:
+    if pow2_counts.any():
         chips.append(system_mod.pow2_chip(pow2_counts))
     return chips

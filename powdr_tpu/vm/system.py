@@ -434,6 +434,32 @@ def mock_check(chips: List[Chip]) -> None:
 # -- full system assembly -----------------------------------------------------
 
 
+def accumulate_periphery(chips: List[Chip]):
+    """Vectorized periphery histograms over the chips' interactions
+    (scatter-add per interaction — counterpart of the reference's CUDA
+    bus-apply kernel, openvm/cuda/src/apc_apply_bus.cu:23-113).
+    Returns (range_counts, bitwise_counts, pow2_counts) flat arrays."""
+    range_counts = np.zeros((1 << (MAX_RANGE_BITS + 1)) - 1, dtype=np.int64)
+    bitwise_counts = np.zeros(2 * 65536, dtype=np.int64)
+    pow2_counts = np.zeros(33, dtype=np.int64)
+
+    def _accum(dst: np.ndarray, idx: np.ndarray, mult: np.ndarray):
+        mask = mult != 0
+        if mask.any():
+            np.add.at(dst, np.asarray(idx)[mask].astype(np.int64), mult[mask].astype(np.int64))
+
+    for chip in chips:
+        _, ints = evaluate_chip_exprs(chip)
+        for bus_id, mult, args in ints:
+            if bus_id == RANGE_BUS:
+                _accum(range_counts, (np.int64(1) << args[1].astype(np.int64)) - 1 + args[0].astype(np.int64), mult)
+            elif bus_id == BITWISE_BUS:
+                _accum(bitwise_counts, args[3].astype(np.int64) * 65536 + args[0].astype(np.int64) * 256 + args[1].astype(np.int64), mult)
+            elif bus_id == POW2_BUS:
+                _accum(pow2_counts, args[0], mult)
+    return range_counts, bitwise_counts, pow2_counts
+
+
 def _filter_rec(rec: dict, mask: np.ndarray) -> dict:
     out = {}
     for k, v in rec.items():
@@ -517,25 +543,9 @@ def build_chip_segments(
     if result.exec_refresh is not None and len(result.exec_refresh["seg"]):
         last.append(exec_refresh_chip(result.exec_refresh, result.epoch_ticks))
     # periphery counts over EVERY segment's chips
-    range_counts = np.zeros((1 << (MAX_RANGE_BITS + 1)) - 1, dtype=np.int64)
-    bitwise_counts = np.zeros(2 * 65536, dtype=np.int64)
-    pow2_counts = np.zeros(33, dtype=np.int64)
-
-    def _accum(dst: np.ndarray, idx: np.ndarray, mult: np.ndarray):
-        m = mult != 0
-        if m.any():
-            np.add.at(dst, np.asarray(idx)[m].astype(np.int64), mult[m].astype(np.int64))
-
-    for seg in segments:
-        for chip in seg:
-            _, ints = evaluate_chip_exprs(chip)
-            for bus_id, mult, args in ints:
-                if bus_id == RANGE_BUS:
-                    _accum(range_counts, (np.int64(1) << args[1].astype(np.int64)) - 1 + args[0].astype(np.int64), mult)
-                elif bus_id == BITWISE_BUS:
-                    _accum(bitwise_counts, args[3].astype(np.int64) * 65536 + args[0].astype(np.int64) * 256 + args[1].astype(np.int64), mult)
-                elif bus_id == POW2_BUS:
-                    _accum(pow2_counts, args[0], mult)
+    range_counts, bitwise_counts, pow2_counts = accumulate_periphery(
+        [c for seg in segments for c in seg]
+    )
     last.append(range_checker_chip(range_counts))
     if bitwise_counts.any():
         last.append(bitwise_chip(bitwise_counts))
@@ -553,28 +563,7 @@ def build_chips(program: List[Instruction], result: ExecutionResult) -> List[Chi
         chips.append(mem_refresh_chip(result.mem_refresh, result.epoch_ticks))
     if result.exec_refresh is not None and len(result.exec_refresh["seg"]):
         chips.append(exec_refresh_chip(result.exec_refresh, result.epoch_ticks))
-    # periphery counts from the already-built chips' interactions
-    # (vectorized: scatter-add histograms per interaction, no python row
-    # loop — counterpart of the reference's CUDA bus-apply kernel,
-    # openvm/cuda/src/apc_apply_bus.cu:23-113)
-    range_counts = np.zeros((1 << (MAX_RANGE_BITS + 1)) - 1, dtype=np.int64)
-    bitwise_counts = np.zeros(2 * 65536, dtype=np.int64)
-    pow2_counts = np.zeros(33, dtype=np.int64)
-
-    def _accum(dst: np.ndarray, idx: np.ndarray, mult: np.ndarray):
-        mask = mult != 0
-        if mask.any():
-            np.add.at(dst, np.asarray(idx)[mask].astype(np.int64), mult[mask].astype(np.int64))
-
-    for chip in chips:
-        _, ints = evaluate_chip_exprs(chip)
-        for bus_id, mult, args in ints:
-            if bus_id == RANGE_BUS:
-                _accum(range_counts, (np.int64(1) << args[1].astype(np.int64)) - 1 + args[0].astype(np.int64), mult)
-            elif bus_id == BITWISE_BUS:
-                _accum(bitwise_counts, args[3].astype(np.int64) * 65536 + args[0].astype(np.int64) * 256 + args[1].astype(np.int64), mult)
-            elif bus_id == POW2_BUS:
-                _accum(pow2_counts, args[0], mult)
+    range_counts, bitwise_counts, pow2_counts = accumulate_periphery(chips)
     chips.append(range_checker_chip(range_counts))
     if bitwise_counts.any():
         chips.append(bitwise_chip(bitwise_counts))

@@ -161,6 +161,33 @@ def test_full_vm_stark_proof_with_apc(small_tables):
     verify_chips(airs, proof, cfg)
 
 
+def test_apc_with_segmentation_straddle(small_tables):
+    """APC + segmentation interaction (ADVICE r2): with epoch boundaries
+    landing INSIDE block occurrences, the straddling occurrences are
+    dropped (they run on the plain instruction chips), the refresh chips
+    hand timestamps across epochs around the APC rows, and the whole
+    system still bus-balances."""
+    from powdr_tpu.cli import _guest
+    from powdr_tpu.vm.apc import build_apc, build_chips_with_apcs, find_occurrences
+    from powdr_tpu.vm.blocks import detect_basic_blocks, pc_profile, block_execution_count
+    from powdr_tpu.vm.executor_native import run_native_columnar
+
+    prog, mem, _ = _guest("loop")
+    # 3-instruction loop body + segment boundary every 8 instructions:
+    # occurrences must straddle boundaries regularly
+    res = run_native_columnar(prog, mem, segment_steps=8)
+    assert res.exec_refresh is not None and len(res.exec_refresh["seg"])
+    blocks = detect_basic_blocks(prog)
+    prof = pc_profile(res.pc_trace)
+    hot = max(blocks, key=lambda b: block_execution_count(b, prof) * len(b))
+    occ = find_occurrences(hot, res)
+    total_execs = block_execution_count(hot, prof)
+    assert 0 < len(occ) < total_execs, (len(occ), total_execs)
+    apc = build_apc(hot)
+    chips = build_chips_with_apcs(prog, res, [apc])
+    mock_check(chips)
+
+
 def test_native_executor_equivalence():
     """C++ core (native/exec_core.cpp) matches the python executor on all
     guests, record for record."""
