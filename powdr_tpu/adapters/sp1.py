@@ -268,3 +268,73 @@ def build_apc(block: Sp1Block, degree_bound: Optional[DegreeBound] = None) -> Sp
     return Sp1Apc(
         block=block, machine=optimized, report=report, name=f"sp1_apc_{block.start_pc:#x}"
     )
+
+
+# -- snapshot rendering -------------------------------------------------------
+# Reference-style rendered machines (sp1-benchmarks/tests/apc_snapshots/**:
+# instruction listing, before/after counts, unique columns, constraints and
+# bus interactions) — a stable text form the snapshot corpus diffs against.
+
+
+def _fmt(e: ir.Expr) -> str:
+    if isinstance(e, ir.Const):
+        v = e.value % P
+        return str(v if v <= P // 2 else v - P)  # small negatives read better
+    if isinstance(e, ir.Var):
+        return e.name
+    if isinstance(e, ir.Add):
+        return f"({_fmt(e.lhs)} + {_fmt(e.rhs)})"
+    if isinstance(e, ir.Sub):
+        return f"({_fmt(e.lhs)} - {_fmt(e.rhs)})"
+    if isinstance(e, ir.Mul):
+        return f"({_fmt(e.lhs)} * {_fmt(e.rhs)})"
+    if isinstance(e, ir.Neg):
+        return f"(-{_fmt(e.operand)})"
+    raise TypeError(type(e))
+
+
+def render_apc(apc: Sp1Apc) -> str:
+    """Deterministic text rendering for file snapshots (the shape of the
+    reference's sp1 snapshot files: instruction list, APC advantage with
+    before/after counts, the machine itself)."""
+    block, m, rep = apc.block, apc.machine, apc.report
+    lines = ["Instructions:"]
+    for i, ins in enumerate(block.instructions):
+        ops = f"b={'#' if ins.imm_b else 'r'}{ins.b} c={'#' if ins.imm_c else 'r'}{ins.c}"
+        lines.append(f"    {i}: {ins.opcode:<6} a=r{ins.a} {ops}")
+    lines.append("")
+    b, a = rep.before, rep.after
+
+    def ratio(x, y):
+        return f"{x / y:.2f}x" if y else "-"
+
+    lines.append("APC advantage:")
+    lines.append(
+        f"  - Main columns: {b['columns']} -> {a['columns']} "
+        f"({ratio(b['columns'], a['columns'])} reduction)"
+    )
+    lines.append(
+        f"  - Bus interactions: {b['bus_interactions']} -> {a['bus_interactions']} "
+        f"({ratio(b['bus_interactions'], a['bus_interactions'])} reduction)"
+    )
+    lines.append(
+        f"  - Constraints: {b['constraints']} -> {a['constraints']} "
+        f"({ratio(b['constraints'], a['constraints'])} reduction)"
+    )
+    lines.append("")
+    names = sorted(m.variables().values())
+    lines.append(f"Symbolic machine using {len(names)} unique main columns:")
+    for n in names:
+        lines.append(f"  {n}")
+    lines.append("")
+    lines.append("Constraints:")
+    for c in m.constraints:
+        lines.append(f"  {_fmt(c)} = 0")
+    lines.append("")
+    lines.append("Bus interactions:")
+    bus_names = {EXEC_BUS: "EXEC", MEM_BUS: "MEMORY", PROG_BUS: "PROGRAM", BYTE_BUS: "BYTE"}
+    for t in m.bus_interactions:
+        args = ", ".join(_fmt(x) for x in t.args)
+        lines.append(f"  {bus_names.get(t.id, t.id)}: mult={_fmt(t.mult)}, args=[{args}]")
+    lines.append("")
+    return "\n".join(lines)

@@ -62,26 +62,27 @@ def test_optimize_keccak_regression():
     """Parity regression gate vs the reference optimizer's golden counts
     (/root/reference/autoprecompiles/tests/optimizer.rs:105-112: keccak
     lands at 2021 columns / 1734 bus interactions).  Our pipeline currently
-    reaches 2429/2068 (1.20x / 1.19x); these bounds pin that level so any
+    reaches 2399/2060 (1.19x); these bounds pin that level so any
     optimizer regression fails loudly.  Tighten when the optimizer
     improves."""
     apc = _fixture("keccak_apc_pre_opt.json.gz")
     out, report = optimize_machine(apc.machine, bus_map=apc.bus_map)
-    assert report.after["columns"] <= 2429, report.after
-    assert report.after["bus_interactions"] <= 2068, report.after
-    assert report.after["constraints"] <= 245, report.after
+    assert report.after["columns"] <= 2399, report.after
+    assert report.after["bus_interactions"] <= 2060, report.after
+    assert report.after["constraints"] <= 215, report.after
 
 
 @pytest.mark.slow
 def test_optimize_ecrecover_regression():
     """Reference golden counts: 3730 cols / 2314 interactions / 3114
-    constraints (optimizer.rs:122-156).  We reach 4119/3010/3371
-    (1.10x / 1.30x); pinned against regression."""
+    constraints (optimizer.rs:122-156).  We reach 3671/2741/2927 —
+    BETTER than the reference on columns and constraints, 1.18x on
+    interactions; pinned against regression."""
     apc = _fixture("ecrecover_apc_pre_opt.json.gz")
     out, report = optimize_machine(apc.machine, bus_map=apc.bus_map)
-    assert report.after["columns"] <= 4119, report.after
-    assert report.after["bus_interactions"] <= 3010, report.after
-    assert report.after["constraints"] <= 3371, report.after
+    assert report.after["columns"] <= 3671, report.after
+    assert report.after["bus_interactions"] <= 2741, report.after
+    assert report.after["constraints"] <= 2927, report.after
 
 
 def test_range_check_dedup():
