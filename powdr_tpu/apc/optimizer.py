@@ -852,6 +852,20 @@ def twin_square_pass(state: OptimizerState, bus_map=None) -> None:
     for f in squares:
         key = (tuple(sorted(f.linear.values())), f.constant)
         groups.setdefault(key, []).append(f)
+    # exclusion results cached across the fixpoint's repeated sweeps:
+    # positives stay valid (range knowledge only tightens); negatives are
+    # retried only when the range state grew (version counter), which
+    # keeps the pass from re-running interval analysis on thousands of
+    # unchanged pairs every round (the byte seeds made this the hottest
+    # pass on ecrecover: 210s -> seconds)
+    version = len(state.bus_ranges)
+    cache = getattr(state, "_twin_cache", None)
+    if cache is None or cache[0] != version:
+        cache = (version, dict(cache[1]) if cache else {})
+        # drop stale negatives on version change; keep positives
+        cache = (version, {k: v for k, v in cache[1].items() if v})
+        state._twin_cache = cache
+    results = cache[1]
     new: List[GE] = []
     for fs in groups.values():
         if len(fs) < 2:
@@ -866,7 +880,12 @@ def twin_square_pass(state: OptimizerState, bus_map=None) -> None:
                     break
                 if not D.is_affine() or len(D.linear) > 8:
                     continue
-                if affine_value_excluded(D, (1, P - 1), state.bus_ranges, scaled):
+                k = D.key()
+                hit = results.get(k)
+                if hit is None:
+                    hit = affine_value_excluded(D, (1, P - 1), state.bus_ranges, scaled)
+                    results[k] = hit
+                if hit:
                     new.append(D)
                     matched = True
                     break
