@@ -21,7 +21,20 @@ from typing import Dict, List, Tuple
 from .isa import Instruction
 
 PT_LOAD = 1
+#: powdr's custom prover-data segment type (riscv-elf/src/lib.rs:34)
+PT_POWDR_PROVER_DATA = 0x600000DA
 PF_X = 1
+
+SHT_SYMTAB = 2
+SHT_STRTAB = 3
+SHT_RELA = 4
+
+# RISC-V relocation types (riscv-elf/src/lib.rs:12 usage surface)
+R_RISCV_32 = 1
+R_RISCV_RELATIVE = 3
+R_RISCV_HI20 = 26
+R_RISCV_LO12_I = 27
+R_RISCV_LO12_S = 28
 
 DISCARD_REG = 32  # shadow rd for architectural x0 writes
 
@@ -32,6 +45,14 @@ class LoadedElf:
     initial_mem: Dict[int, int]  # word-aligned byte address -> 32-bit value
     text_base: int  # vaddr of program[0] (the executor pc_base)
     entry_pc: int  # e_entry vaddr (the executor start pc)
+    #: symbol name -> vaddr (from .symtab; debug_info.rs SymbolTable role)
+    symbols: Dict[str, int] = None
+    #: vaddr -> function-symbol name (text labels, debug_info.rs labels)
+    labels: Dict[int, str] = None
+    #: contents of PT_POWDR_PROVER_DATA segments (word addr -> value)
+    prover_data: Dict[int, int] = None
+    #: static jump destinations (branch/jal targets inside text)
+    jumpdests: "set" = None
 
 
 def _sext(v: int, bits: int) -> int:
@@ -118,10 +139,94 @@ def decode_rv32(word: int, pc: int, base: int = 0) -> Instruction:
     raise ValueError(f"unsupported opcode {opc:#x} at pc {pc:#x}")
 
 
+def _read_symbols(data: bytes, shdrs) -> Tuple[Dict[str, int], Dict[int, str]]:
+    """(.symtab, .strtab) -> name->vaddr and text labels (STT_FUNC)
+    (the reference's SymbolTable/debug-info layer, riscv-elf/src/debug_info.rs)."""
+    symbols: Dict[str, int] = {}
+    labels: Dict[int, str] = {}
+    for sh in shdrs:
+        if sh["type"] != SHT_SYMTAB:
+            continue
+        strtab = shdrs[sh["link"]]
+        straw = data[strtab["offset"] : strtab["offset"] + strtab["size"]]
+        count = sh["size"] // 16  # Elf32_Sym
+        for i in range(count):
+            off = sh["offset"] + 16 * i
+            st_name, st_value, _st_size, st_info = struct.unpack_from("<IIIB", data, off)
+            if st_name == 0:
+                continue
+            end = straw.index(b"\x00", st_name)
+            name = straw[st_name:end].decode("utf-8", "replace")
+            symbols[name] = st_value
+            if st_info & 0xF == 2:  # STT_FUNC
+                labels[st_value] = name
+    return symbols, labels
+
+
+def _apply_relocations(data: bytes, shdrs, image: Dict[int, bytearray], symtab_vals):
+    """Patch the loaded image per .rela.* sections: R_RISCV_32 (S+A),
+    R_RISCV_RELATIVE (B+A, B=0 for ET_EXEC), and the HI20/LO12 pairs on
+    text words (riscv-elf/src/lib.rs:224-258 handles 32/RELATIVE; HI20 is
+    the non-PIE label marker there — patched here for completeness)."""
+
+    def patch_word(vaddr: int, fn):
+        for base, buf in image.items():
+            off = vaddr - base
+            if 0 <= off <= len(buf) - 4:
+                (w,) = struct.unpack_from("<I", buf, off)
+                struct.pack_into("<I", buf, off, fn(w) & 0xFFFFFFFF)
+                return True
+        return False
+
+    for sh in shdrs:
+        if sh["type"] != SHT_RELA:
+            continue
+        count = sh["size"] // 12  # Elf32_Rela
+        for i in range(count):
+            off = sh["offset"] + 12 * i
+            r_offset, r_info, r_addend = struct.unpack_from("<IIi", data, off)
+            r_type = r_info & 0xFF
+            sym = r_info >> 8
+            s = symtab_vals.get(sym, 0)
+            value = (s + r_addend) & 0xFFFFFFFF
+            if r_type == R_RISCV_32:
+                patch_word(r_offset, lambda w: value)
+            elif r_type == R_RISCV_RELATIVE:
+                patch_word(r_offset, lambda w: r_addend)
+            elif r_type == R_RISCV_HI20:
+                hi = ((value + 0x800) >> 12) & 0xFFFFF
+                patch_word(r_offset, lambda w: (w & 0xFFF) | (hi << 12))
+            elif r_type == R_RISCV_LO12_I:
+                lo = (value - (((value + 0x800) >> 12) << 12)) & 0xFFF
+                patch_word(r_offset, lambda w: (w & 0xFFFFF) | (lo << 20))
+            elif r_type == R_RISCV_LO12_S:
+                lo = (value - (((value + 0x800) >> 12) << 12)) & 0xFFF
+                patch_word(
+                    r_offset,
+                    lambda w: (w & 0x1FFF07F) | ((lo & 0x1F) << 7) | ((lo >> 5) << 25),
+                )
+            else:
+                raise ValueError(f"unsupported relocation type {r_type}")
+
+
+def _symtab_values(data: bytes, shdrs) -> Dict[int, int]:
+    """Symbol index -> st_value, for relocation resolution."""
+    for sh in shdrs:
+        if sh["type"] == SHT_SYMTAB:
+            count = sh["size"] // 16
+            return {
+                i: struct.unpack_from("<I", data, sh["offset"] + 16 * i + 4)[0]
+                for i in range(count)
+            }
+    return {}
+
+
 def load_elf(data: bytes) -> LoadedElf:
     """Parse an ELF32 little-endian RISC-V executable: PT_LOAD segments
-    become the program (executable segment, decoded) and the initial RAM
-    image (data segments, word-granular)."""
+    become the program (executable segment, decoded after relocation) and
+    the initial RAM image (data segments, word-granular); .rela.*
+    relocations are applied, .symtab yields symbols + text labels, and
+    PT_POWDR_PROVER_DATA segments load into `prover_data`."""
     assert data[:4] == b"\x7fELF", "not an ELF"
     ei_class, ei_data = data[4], data[5]
     assert ei_class == 1 and ei_data == 1, "need ELF32 little-endian"
@@ -129,39 +234,78 @@ def load_elf(data: bytes) -> LoadedElf:
     assert e_machine == 0xF3, f"not RISC-V (e_machine {e_machine:#x})"
     (e_entry,) = struct.unpack_from("<I", data, 24)
     (e_phoff,) = struct.unpack_from("<I", data, 28)
+    (e_shoff,) = struct.unpack_from("<I", data, 32)
     (e_phentsize,) = struct.unpack_from("<H", data, 42)
     (e_phnum,) = struct.unpack_from("<H", data, 44)
+    (e_shentsize,) = struct.unpack_from("<H", data, 46)
+    (e_shnum,) = struct.unpack_from("<H", data, 48)
 
-    text = None  # (vaddr, bytes)
-    initial_mem: Dict[int, int] = {}
+    shdrs = []
+    for i in range(e_shnum):
+        off = e_shoff + i * e_shentsize
+        _nm, sh_type, _fl, _ad, sh_offset, sh_size, sh_link = struct.unpack_from(
+            "<7I", data, off
+        )
+        shdrs.append(
+            {"type": sh_type, "offset": sh_offset, "size": sh_size, "link": sh_link}
+        )
+
+    text_base = None
+    image: Dict[int, bytearray] = {}  # segment vaddr -> mutable bytes
+    prover_data: Dict[int, int] = {}
     for i in range(e_phnum):
         off = e_phoff + i * e_phentsize
         p_type, p_offset, p_vaddr, _p_paddr, p_filesz, p_memsz, p_flags, _p_align = (
             struct.unpack_from("<8I", data, off)
         )
+        seg = bytearray(data[p_offset : p_offset + p_filesz]) + bytearray(
+            p_memsz - p_filesz
+        )
+        if p_type == PT_POWDR_PROVER_DATA:
+            for w in range(0, len(seg), 4):
+                val = struct.unpack("<I", bytes(seg[w : w + 4]).ljust(4, b"\x00"))[0]
+                if val:
+                    prover_data[p_vaddr + w] = val
+            continue
         if p_type != PT_LOAD:
             continue
-        seg = data[p_offset : p_offset + p_filesz] + b"\x00" * (p_memsz - p_filesz)
         if p_flags & PF_X:
-            assert text is None, "multiple executable segments unsupported"
-            text = (p_vaddr, seg)
+            assert text_base is None, "multiple executable segments unsupported"
+            text_base = p_vaddr
+        assert p_vaddr % 4 == 0, "segment must be word-aligned"
+        image[p_vaddr] = seg
+    assert text_base is not None, "no executable segment"
+
+    if shdrs:
+        _apply_relocations(data, shdrs, image, _symtab_values(data, shdrs))
+    symbols, labels = _read_symbols(data, shdrs) if shdrs else ({}, {})
+
+    initial_mem: Dict[int, int] = {}
+    program: List[Instruction] = []
+    for vaddr, seg in image.items():
+        if vaddr == text_base:
+            assert len(seg) % 4 == 0
+            program = [
+                decode_rv32(struct.unpack_from("<I", seg, off)[0], vaddr + off)
+                for off in range(0, len(seg), 4)
+            ]
         else:
-            assert p_vaddr % 4 == 0, "data segment must be word-aligned"
             for w in range(0, len(seg), 4):
-                chunk = seg[w : w + 4].ljust(4, b"\x00")
-                val = struct.unpack("<I", chunk)[0]
+                val = struct.unpack("<I", bytes(seg[w : w + 4]).ljust(4, b"\x00"))[0]
                 if val:
-                    initial_mem[p_vaddr + w] = val
-    assert text is not None, "no executable segment"
-    base, code = text
-    assert base % 4 == 0 and len(code) % 4 == 0
-    program = [
-        decode_rv32(struct.unpack_from("<I", code, off)[0], base + off)
-        for off in range(0, len(code), 4)
-    ]
+                    initial_mem[vaddr + w] = val
+    jumpdests = {
+        ins.imm
+        for ins in program
+        if ins.op in ("beq", "bne", "blt", "bge", "bltu", "bgeu", "jal")
+    }
     return LoadedElf(
         program=program,
         initial_mem=initial_mem,
-        text_base=base,
+        text_base=text_base,
         entry_pc=e_entry,
+        symbols=symbols,
+        labels=labels,
+        prover_data=prover_data,
+        jumpdests=jumpdests,
     )

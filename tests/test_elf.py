@@ -150,3 +150,120 @@ def test_elf_entry_offset():
     assert py.final_mem[(1, 5)][1] == 7
     assert py.pc_trace[0] == base + 4
     mock_check(build_chips(loaded.program, py))
+
+
+# -- relocations / symbols / prover data --------------------------------------
+
+
+def make_elf_with_sections(
+    words, text_vaddr, data_vaddr, data, symbols, relas_text, relas_data,
+    prover_data=b"", entry=None,
+):
+    """ELF32 with section headers: .text/.data PT_LOADs plus .symtab,
+    .strtab and .rela.{text,data} sections, and an optional
+    PT_POWDR_PROVER_DATA segment (the reference's custom 0x600000da)."""
+    code = b"".join(struct.pack("<I", w) for w in words)
+    ehsize, phentsize, shentsize = 52, 32, 40
+    nph = 2 + (1 if prover_data else 0)
+    text_off = ehsize + nph * phentsize
+    data_off = text_off + len(code)
+    pd_off = data_off + len(data)
+
+    # .strtab
+    strtab = b"\x00"
+    name_off = {}
+    for name, _v, _info in symbols:
+        name_off[name] = len(strtab)
+        strtab += name.encode() + b"\x00"
+    # .symtab: entry 0 is the null symbol
+    symtab = struct.pack("<IIIBBH", 0, 0, 0, 0, 0, 0)
+    for name, v, info in symbols:
+        symtab += struct.pack("<IIIBBH", name_off[name], v, 0, info, 0, 0)
+
+    def rela(entries):
+        return b"".join(struct.pack("<IIi", o, (s << 8) | t, a) for o, t, s, a in entries)
+
+    rt, rd = rela(relas_text), rela(relas_data)
+    sym_off = pd_off + len(prover_data)
+    str_off = sym_off + len(symtab)
+    rt_off = str_off + len(strtab)
+    rd_off = rt_off + len(rt)
+    sh_off = rd_off + len(rd)
+
+    # sections: null, .symtab(link=2 -> .strtab), .strtab, .rela.text, .rela.data
+    shs = struct.pack("<10I", *([0] * 10))
+    shs += struct.pack("<10I", 0, 2, 0, 0, sym_off, len(symtab), 2, 0, 4, 16)
+    shs += struct.pack("<10I", 0, 3, 0, 0, str_off, len(strtab), 0, 0, 1, 0)
+    shs += struct.pack("<10I", 0, 4, 0, text_vaddr, rt_off, len(rt), 1, 0, 4, 12)
+    shs += struct.pack("<10I", 0, 4, 0, data_vaddr, rd_off, len(rd), 1, 0, 4, 12)
+
+    eh = struct.pack(
+        "<4sBBBBB7xHHIIIIIHHHHHH",
+        b"\x7fELF", 1, 1, 1, 0, 0,
+        2, 0xF3, 1,
+        entry if entry is not None else text_vaddr,
+        ehsize, sh_off, 0,
+        ehsize, phentsize, nph, shentsize, 5, 2,
+    )
+    phs = struct.pack(
+        "<8I", 1, text_off, text_vaddr, text_vaddr, len(code), len(code), 0b101, 4
+    )
+    phs += struct.pack(
+        "<8I", 1, data_off, data_vaddr, data_vaddr, len(data), len(data), 0b110, 4
+    )
+    if prover_data:
+        phs += struct.pack(
+            "<8I", 0x600000DA, pd_off, 0x30000, 0x30000,
+            len(prover_data), len(prover_data), 0b100, 4,
+        )
+    return eh + phs + code + data + prover_data + symtab + strtab + rt + rd + shs
+
+
+def test_elf_relocations_symbols_and_prover_data():
+    """A relocated ELF32 fixture loads, runs, and proves (mock check):
+    HI20/LO12_I patch a lui/addi pair to a symbol address, R_RISCV_32
+    patches a data word to a symbol, R_RISCV_RELATIVE plants an absolute
+    address, the symbol table yields labels, and the prover-data segment
+    loads separately (riscv-elf/src/lib.rs:34,224-258)."""
+    base, dbase = 0x10000, 0x20000
+    target = dbase + 12  # the symbol the relocations point at (data word 3)
+    words = [
+        0x37 | (6 << 7),                  # lui x6, 0     <- HI20(target)
+        i_type(0, 6, 0, 6, 0x13),         # addi x6, x6, 0 <- LO12_I(target)
+        i_type(0, 6, 2, 7, 0x03),         # lw x7, 0(x6)   -> mem[target]
+        i_type(0, 0, 0, 28, 0x13),        # nop
+        0x73,                             # halt
+    ]
+    # data: word0 <- R_RISCV_32(sym=target_sym)+4; word1 <- RELATIVE(dbase+8)
+    data = struct.pack("<4I", 0, 0, 0xDEAD, 77)  # word at target = 77
+    symbols = [
+        ("main", base, 0x12),        # STB_GLOBAL<<4 | STT_FUNC
+        ("the_word", target, 0x11),  # STT_OBJECT
+    ]
+    relas_text = [
+        (base + 0, R := 26, 2, 0),   # HI20 on the lui, sym 2 (the_word)
+        (base + 4, 27, 2, 0),        # LO12_I on the addi
+    ]
+    relas_data = [
+        (dbase + 0, 1, 2, 4),        # R_RISCV_32: the_word + 4
+        (dbase + 4, 3, 0, dbase + 8),  # RELATIVE: addend is the address
+    ]
+    pd = struct.pack("<2I", 0xC0FFEE, 42)
+    blob = make_elf_with_sections(
+        words, base, dbase, data, symbols, relas_text, relas_data, prover_data=pd
+    )
+    from powdr_tpu.vm.elf import R_RISCV_32, R_RISCV_HI20  # import check
+
+    loaded = load_elf(blob)
+    assert loaded.symbols["the_word"] == target
+    assert loaded.labels[base] == "main"
+    assert loaded.initial_mem[dbase + 0] == target + 4  # R_RISCV_32
+    assert loaded.initial_mem[dbase + 4] == dbase + 8  # RELATIVE
+    assert loaded.prover_data == {0x30000: 0xC0FFEE, 0x30004: 42}
+    # the patched lui/addi must compute x6 = target, so lw x7 reads 77
+    py = Executor(
+        loaded.program, loaded.initial_mem, pc_base=base, start_pc=loaded.entry_pc
+    ).run()
+    assert py.final_mem[(1, 6)][1] == target
+    assert py.final_mem[(1, 7)][1] == 77
+    mock_check(build_chips(loaded.program, py))
