@@ -39,20 +39,50 @@ def prove_on_mesh(
     challenger: Challenger,
     mesh: Mesh,
     publics: Optional[Sequence[Optional[List[int]]]] = None,
+    downstream: str = "replicated",
 ) -> stark_prover.Proof:
-    """Run the full STARK prover with traces row-sharded over `mesh`.
+    """Run the full STARK prover with commitments computed on `mesh`.
 
     Chips too small for the four-step split (periphery chips) commit
     replicated; large chips shard.  The returned Proof is bit-identical
-    to `stark.prover.prove(chips, config, challenger)` on one chip."""
+    to `stark.prover.prove(chips, config, challenger)` on one chip.
+
+    downstream: "auto" leaves the committed LDEs sharded so XLA's
+    auto-SPMD partitioner propagates the sharding through perm/quotient/
+    FRI (inserting psum/all-gather itself); "replicated" (default) pulls
+    each commitment's results onto the default device after the sharded
+    NTT+Merkle — the FLOPs-dominant stages still run on the mesh with
+    explicit shard_map collectives, while the downstream stages keep
+    single-device semantics.  Auto-SPMD over the full VM constraint
+    graphs triggers pathological SPMD-partitioner compile times and CPU
+    collective-rendezvous timeouts at real chip-set scale; "auto" remains
+    the right mode for few-chip/large-matrix workloads."""
     row_sharding = NamedSharding(mesh, P(AXIS, None))
     placed = []
     for air, trace in chips:
         log_n = int(np.log2(trace.shape[0]))
-        if parallel_pcs.shardable(mesh, log_n):
+        # in "auto" mode traces live sharded so every downstream stage
+        # partitions; in "replicated" mode commit_sharded places its own
+        # input (pre-placing here would hand SHARDED traces to the perm
+        # jit and trigger the auto-SPMD compile blowup this mode avoids)
+        if downstream == "auto" and parallel_pcs.shardable(mesh, log_n):
             trace = jax.device_put(trace, row_sharding)
         placed.append((air, trace))
-    commit_fn = functools.partial(parallel_pcs.commit_sharded, mesh=mesh)
+    base_commit = functools.partial(parallel_pcs.commit_sharded, mesh=mesh)
+    if downstream == "replicated":
+        from ..hash import merkle
+
+        def commit_fn(evals, config, shift_pow=0):
+            cm = base_commit(evals, config, shift_pow=shift_pow)
+            cm.evals = jnp.asarray(jax.device_get(cm.evals))
+            cm.lde = jnp.asarray(jax.device_get(cm.lde))
+            cm.tree = merkle.MerkleTree(
+                [jnp.asarray(jax.device_get(l)) for l in cm.tree.layers]
+            )
+            return cm
+
+    else:
+        commit_fn = base_commit
     return stark_prover.prove(
         placed, config, challenger, publics=publics, commit_fn=commit_fn
     )

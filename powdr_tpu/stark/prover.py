@@ -98,27 +98,24 @@ def build_perm_trace(
     """Compute [h_0..h_{G-1}, s] as a (n, 4*(G+1)) base matrix plus the
     chip's cumulative LogUp total.
 
-    One jitted dispatch per chip on accelerator backends (cached on the
-    Air), eager on CPU — same rationale as compute_quotient.  With
-    defer_total the total comes back as the (4,) Montgomery device array
-    (unfetched) so callers can batch the round's fetches."""
+    One jitted dispatch per chip (cached on the Air) on every backend —
+    the eager path re-dispatched thousands of tiny ops per prove and was
+    40-50s per chip on CPU; perm graphs are small (interactions only) so
+    tracing once is always the right trade.  With defer_total the total
+    comes back as the (4,) Montgomery device array (unfetched) so callers
+    can batch the round's fetches."""
     alpha_arr = bb.to_mont(jnp.asarray(np.array(alpha, dtype=np.uint32)))
     beta_arr = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
     import jax as _jax
 
-    if _jax.devices()[0].platform != "cpu":
-        key = tuple(tuple(g) for g in groups)
-        cached = getattr(air, "_perm_jit", None)
-        if cached is None or cached[0] != key:
-            fn = _jax.jit(
-                functools.partial(_perm_core, air, key)
-            )
-            air._perm_jit = (key, fn)
-        perm, s_last = air._perm_jit[1](trace, alpha_arr, beta_arr, pre_trace)
-    else:
-        perm, s_last = _perm_core(
-            air, tuple(tuple(g) for g in groups), trace, alpha_arr, beta_arr, pre_trace
+    key = tuple(tuple(g) for g in groups)
+    cached = getattr(air, "_perm_jit", None)
+    if cached is None or cached[0] != key:
+        fn = _jax.jit(
+            functools.partial(_perm_core, air, key)
         )
+        air._perm_jit = (key, fn)
+    perm, s_last = air._perm_jit[1](trace, alpha_arr, beta_arr, pre_trace)
     if defer_total:
         return perm, s_last
     total = tuple(int(v) for v in np.asarray(bb.from_mont(s_last)))
@@ -176,6 +173,33 @@ def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
 # quotient
 
 
+def _air_node_count(air: Air) -> int:
+    """Unique IR nodes across the air's constraints + interactions (an
+    estimate of tracing cost), cached on the Air."""
+    n = getattr(air, "_node_count", None)
+    if n is None:
+        seen = set()
+
+        def walk(e):
+            if id(e) in seen:
+                return
+            seen.add(id(e))
+            for attr in ("lhs", "rhs", "operand"):
+                sub = getattr(e, attr, None)
+                if sub is not None:
+                    walk(sub)
+
+        for c in air.constraints:
+            walk(c)
+        for t in air.interactions:
+            walk(t.mult)
+            for a in t.args:
+                walk(a)
+        n = len(seen)
+        air._node_count = n
+    return n
+
+
 def _lde_algebra(
     lde_main: jnp.ndarray,
     lde_perm: Optional[jnp.ndarray],
@@ -230,7 +254,10 @@ def compute_quotient(
 
     import jax as _jax
 
-    use_jit = _jax.devices()[0].platform != "cpu"
+    # jit everywhere EXCEPT huge constraint graphs on CPU (the aggregation
+    # circuit's Poseidon2 air traces to minutes-long CPU compiles; eager
+    # re-dispatch beats that — everywhere else tracing once wins big)
+    use_jit = _jax.devices()[0].platform != "cpu" or _air_node_count(air) < 60_000
     if use_jit:
         key = (log_n, config, shift_pow, tuple(publics) if publics else None)
         cache_attr = getattr(air, "_quotient_jit", None)
