@@ -90,6 +90,19 @@ def _build_layers(leaf_digests: jnp.ndarray):
     return tuple(layers)
 
 
+def _build_layers_eager(leaf_digests: jnp.ndarray):
+    """Level-by-level tree build.  Each level is one p2.compress call —
+    jitted per (n, 8) SHAPE, so level shapes are shared across every tree
+    of the run (the fused _build_layers compiles one whole-tree program
+    per distinct leaf count, which dominates one-shot cold runs)."""
+    layers = [leaf_digests]
+    cur = leaf_digests
+    while cur.shape[0] > 1:
+        cur = p2.compress(cur[0::2], cur[1::2])
+        layers.append(cur)
+    return tuple(layers)
+
+
 def build(leaf_digests: jnp.ndarray) -> MerkleTree:
     """leaf_digests: (n, 8) with n a power of two."""
     n = leaf_digests.shape[0]

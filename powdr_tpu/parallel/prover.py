@@ -19,6 +19,7 @@ distributed backend (SURVEY.md §5: 'Distributed communication backend')."""
 from __future__ import annotations
 
 import functools
+import os
 from typing import List, Optional, Sequence, Tuple
 
 import jax
@@ -57,7 +58,20 @@ def prove_on_mesh(
     graphs triggers pathological SPMD-partitioner compile times and CPU
     collective-rendezvous timeouts at real chip-set scale; "auto" remains
     the right mode for few-chip/large-matrix workloads."""
+    # POWDR_TPU_SHARD_MIN_LOG_N: matrices below this height commit on the
+    # default batched single-device path (sharding a 64-row periphery
+    # table is all compile + collective overhead); sharded or not, the
+    # committed values are bit-identical so the proof never changes.
+    min_log = int(os.environ.get("POWDR_TPU_SHARD_MIN_LOG_N", "0"))
     row_sharding = NamedSharding(mesh, P(AXIS, None))
+
+    def _shards(log_n: int) -> bool:
+        return (
+            log_n >= min_log
+            and parallel_pcs.shardable(mesh, log_n)
+            and parallel_pcs.shardable(mesh, log_n + config.log_blowup)
+        )
+
     placed = []
     for air, trace in chips:
         log_n = int(np.log2(trace.shape[0]))
@@ -65,24 +79,25 @@ def prove_on_mesh(
         # partitions; in "replicated" mode commit_sharded places its own
         # input (pre-placing here would hand SHARDED traces to the perm
         # jit and trigger the auto-SPMD compile blowup this mode avoids)
-        if downstream == "auto" and parallel_pcs.shardable(mesh, log_n):
+        if downstream == "auto" and _shards(log_n):
             trace = jax.device_put(trace, row_sharding)
         placed.append((air, trace))
     base_commit = functools.partial(parallel_pcs.commit_sharded, mesh=mesh)
-    if downstream == "replicated":
-        from ..hash import merkle
+    from ..hash import merkle
 
-        def commit_fn(evals, config, shift_pow=0):
-            cm = base_commit(evals, config, shift_pow=shift_pow)
+    def commit_fn(evals, config, shift_pow=0):
+        log_n = int(np.log2(evals.shape[0]))
+        if not _shards(log_n):
+            return None  # decline: batched default commit, same values
+        cm = base_commit(evals, config, shift_pow=shift_pow)
+        if downstream == "replicated":
             cm.evals = jnp.asarray(jax.device_get(cm.evals))
             cm.lde = jnp.asarray(jax.device_get(cm.lde))
             cm.tree = merkle.MerkleTree(
                 [jnp.asarray(jax.device_get(l)) for l in cm.tree.layers]
             )
-            return cm
+        return cm
 
-    else:
-        commit_fn = base_commit
     return stark_prover.prove(
         placed, config, challenger, publics=publics, commit_fn=commit_fn
     )

@@ -6,9 +6,20 @@ Mirrors the parameter surface powdr pins on the stark-backend fork
 for identities and one less for bus interactions."""
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 
 from ..field import babybear as bb
+
+
+def eager_prover() -> bool:
+    """POWDR_TPU_EAGER_PROVER=1: evaluate the prover's per-chip graphs
+    (perm, quotient, reduced codewords, FRI folds, Merkle levels)
+    eagerly instead of jit-compiling them.  One-shot CPU runs — the
+    driver's multichip dryrun, cold CI proves — pay far more for XLA
+    compiles of every distinct constraint graph than for eager dispatch
+    on small tables; serving runs on the real chip keep the jits."""
+    return os.environ.get("POWDR_TPU_EAGER_PROVER", "0") == "1"
 
 
 @dataclass(frozen=True)

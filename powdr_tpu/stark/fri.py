@@ -151,12 +151,23 @@ def prove(
     stop_n = final_len * config.blowup
     assert all((1 << l) > stop_n for l in logs[1:]), "group below FRI floor"
 
+    from .config import eager_prover
+
+    eager = eager_prover()
+
+    def commit_layer(c):
+        # eager: per-level p2.compress jits are shared across every layer
+        # size of the run; the fused whole-tree program compiles per shape
+        if eager:
+            return merkle._build_layers_eager(p2.hash_rows(_pair_leaves(c)))
+        return _commit_layer(c)
+
     layers: List[Tuple[jnp.ndarray, merkle.MerkleTree]] = []
     roots: List[np.ndarray] = []
     cw = codeword[log_n]
     shift_pow = log_shift_pow
     cur_log = log_n
-    pending = _commit_layer(cw) if cw.shape[0] > stop_n else None
+    pending = commit_layer(cw) if cw.shape[0] > stop_n else None
     while cw.shape[0] > stop_n:
         tree = merkle.MerkleTree(list(pending))
         root = np.asarray(tree.root)
@@ -171,7 +182,11 @@ def prove(
         # the transcript forces a fetch per layer, but not two dispatches
         join = codeword.get(cur_log - 1)
         if (1 << (cur_log - 1)) > stop_n:
-            cw, pending = _fold_join_commit(cw, beta_m, inv2x, join)
+            if eager:
+                cw = _fold_join(cw, beta_m, inv2x, join)
+                pending = commit_layer(cw)
+            else:
+                cw, pending = _fold_join_commit(cw, beta_m, inv2x, join)
         else:
             cw = _fold_join(cw, beta_m, inv2x, join)
         shift_pow += 1

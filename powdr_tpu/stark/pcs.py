@@ -28,6 +28,7 @@ from ..hash import merkle
 from ..hash import poseidon2 as p2
 from ..ntt import coset_lde
 from .challenger import Challenger
+from . import config as config_mod
 from .config import StarkConfig
 from .fri import FriProof, _pow_table
 from . import fri as fri_mod
@@ -99,6 +100,8 @@ def _commit_impl(evals: jnp.ndarray, log_blowup: int, shift: int):
     on the real TPU backend (the NTT ladder fused with the scanned
     Poseidon2 levels compiles for minutes per distinct matrix shape)."""
     lde = _lde_matrix(evals, log_blowup, shift)
+    if config_mod.eager_prover():
+        return lde, merkle._build_layers_eager(p2.hash_rows(lde))
     layers = merkle._build_layers(p2.hash_rows(lde))
     return lde, layers
 
@@ -134,8 +137,8 @@ def commit_group(
     evals_list: Sequence[jnp.ndarray], config: StarkConfig, shift_pow: int = 0
 ) -> List[CommittedMatrix]:
     """Batched commit of same-height matrices (one device dispatch)."""
-    if len(evals_list) == 1:
-        return [commit(evals_list[0], config, shift_pow=shift_pow)]
+    if len(evals_list) == 1 or config_mod.eager_prover():
+        return [commit(e, config, shift_pow=shift_pow) for e in evals_list]
     shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
     results = _commit_impl_many(tuple(evals_list), config.log_blowup, shift)
     out = []
@@ -153,18 +156,23 @@ def commit_group(
 def commit_round(entries, config: StarkConfig, commit_fn=None) -> List[Optional[CommittedMatrix]]:
     """Commit a whole round: entries are (evals | None, shift_pow) pairs.
     With the default PCS, same-(height, shift) entries batch into one
-    dispatch; a custom commit_fn (e.g. the mesh-sharded prover's) falls
-    back to per-matrix commits."""
+    dispatch.  A custom commit_fn (e.g. the mesh-sharded prover's)
+    commits per-matrix; it may DECLINE an entry by returning None, in
+    which case that entry falls back into the default grouped batch —
+    this keeps tiny periphery matrices on the batched single-device path
+    while big tables shard."""
     out: List[Optional[CommittedMatrix]] = [None] * len(entries)
-    if commit_fn is not None and commit_fn is not commit:
-        for i, (evals, sp) in enumerate(entries):
-            if evals is not None:
-                out[i] = commit_fn(evals, config, shift_pow=sp)
-        return out
     groups: Dict[Tuple[int, int], List[int]] = {}
+    use_custom = commit_fn is not None and commit_fn is not commit
     for i, (evals, sp) in enumerate(entries):
-        if evals is not None:
-            groups.setdefault((evals.shape[0], sp), []).append(i)
+        if evals is None:
+            continue
+        if use_custom:
+            cm = commit_fn(evals, config, shift_pow=sp)
+            if cm is not None:
+                out[i] = cm
+                continue
+        groups.setdefault((evals.shape[0], sp), []).append(i)
     for (n, sp), idxs in groups.items():
         cms = commit_group([entries[i][0] for i in idxs], config, shift_pow=sp)
         for i, cm in zip(idxs, cms):
@@ -223,6 +231,12 @@ def eval_at_points_device(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> jnp.nda
     z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
     s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
     pts = jnp.asarray(_subgroup_points(log_n))
+    if config_mod.eager_prover():
+        rows = [
+            _eval_matrix_at.__wrapped__(mat.evals, z_ms[i], s_ms[i], pts)
+            for i in range(len(zs))
+        ]
+        return bb.from_mont(jnp.stack(rows, axis=0))
     return bb.from_mont(_eval_matrix_at_many(mat.evals, z_ms, s_ms, pts))
 
 
@@ -349,10 +363,13 @@ def open_matrices(
             z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
             groups.setdefault(log_N, []).append((mat.lde, a_m, y_m, z_m, shift))
     acc: Dict[int, jnp.ndarray] = {}
+    reduced_fn = (
+        _reduced_codeword.__wrapped__ if config_mod.eager_prover() else _reduced_codeword
+    )
     for log_N, terms in groups.items():
         shift = terms[0][4]
         xs = jnp.asarray(_coset_points(log_N, shift))
-        acc[log_N] = _reduced_codeword(
+        acc[log_N] = reduced_fn(
             tuple(t[0] for t in terms),
             tuple(t[1] for t in terms),
             tuple(t[2] for t in terms),

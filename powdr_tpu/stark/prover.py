@@ -15,6 +15,7 @@ jitted AIR "kernel"), quotient NTTs.  Host work is transcript plumbing.
 from __future__ import annotations
 
 import functools
+import os
 from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
@@ -34,6 +35,19 @@ from .challenger import Challenger
 from .config import StarkConfig
 from .fri import _pow_table
 from .pcs import ExtVal, py_ext_pow
+
+
+from .config import eager_prover as _eager_prover
+
+
+def _progress(msg: str) -> None:
+    """POWDR_TPU_PROVE_PROGRESS=1 prints per-round progress (flushed) so a
+    driver-side timeout is diagnosable from the captured tail."""
+    if os.environ.get("POWDR_TPU_PROVE_PROGRESS", "0") == "1":
+        import sys
+        import time
+
+        print(f"[prove +{time.perf_counter():.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 @dataclass
@@ -109,13 +123,16 @@ def build_perm_trace(
     import jax as _jax
 
     key = tuple(tuple(g) for g in groups)
-    cached = getattr(air, "_perm_jit", None)
-    if cached is None or cached[0] != key:
-        fn = _jax.jit(
-            functools.partial(_perm_core, air, key)
-        )
-        air._perm_jit = (key, fn)
-    perm, s_last = air._perm_jit[1](trace, alpha_arr, beta_arr, pre_trace)
+    if _eager_prover():
+        perm, s_last = _perm_core(air, key, trace, alpha_arr, beta_arr, pre_trace)
+    else:
+        cached = getattr(air, "_perm_jit", None)
+        if cached is None or cached[0] != key:
+            fn = _jax.jit(
+                functools.partial(_perm_core, air, key)
+            )
+            air._perm_jit = (key, fn)
+        perm, s_last = air._perm_jit[1](trace, alpha_arr, beta_arr, pre_trace)
     if defer_total:
         return perm, s_last
     total = tuple(int(v) for v in np.asarray(bb.from_mont(s_last)))
@@ -257,7 +274,9 @@ def compute_quotient(
     # jit everywhere EXCEPT huge constraint graphs on CPU (the aggregation
     # circuit's Poseidon2 air traces to minutes-long CPU compiles; eager
     # re-dispatch beats that — everywhere else tracing once wins big)
-    use_jit = _jax.devices()[0].platform != "cpu" or _air_node_count(air) < 60_000
+    use_jit = not _eager_prover() and (
+        _jax.devices()[0].platform != "cpu" or _air_node_count(air) < 60_000
+    )
     if use_jit:
         key = (log_n, config, shift_pow, tuple(publics) if publics else None)
         cache_attr = getattr(air, "_quotient_jit", None)
@@ -403,6 +422,7 @@ def prove(
     batched_fn = commit_fn if commit_fn is not pcs.commit else None
 
     # round 0: preprocessed (vk) commitments
+    _progress(f"round 0: preprocessed commitments ({len(chips)} chips)")
     pres = pcs.commit_round(
         [
             (
@@ -419,6 +439,7 @@ def prove(
     observe_roots(pres)
 
     # round 1: main commitments (same-height chips batch into one dispatch)
+    _progress("round 1: main commitments")
     mains = pcs.commit_round(
         [(t, sp) for (a, t), sp in zip(chips, shift_pows)],
         config,
@@ -437,6 +458,7 @@ def prove(
         # round 2: permutation traces for this segment (commit all, then
         # one fetch for roots + totals — transcript order per chip is
         # root, total)
+        _progress("round 2: permutation traces")
         groups_per_chip: List[List[List[int]]] = []
         totals: List[Optional[ExtVal]] = []
         total_devs = []
@@ -475,6 +497,7 @@ def prove(
         alpha_q = challenger.sample_ext()
 
         # round 3: quotients for this segment
+        _progress("round 3: quotients")
         q_entries = []
         for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm, pub in zip(
             chips[sl], mains[sl], perms, groups_per_chip, totals,
@@ -525,6 +548,7 @@ def prove(
             matrices.append(q_cm)
             points.append([zeta])
 
+        _progress(f"round 4: batch opening ({len(matrices)} matrices)")
         openings.append(pcs.open_matrices(matrices, points, config, challenger))
         all_perms.extend(perms)
         all_quotients.extend(quotients)
