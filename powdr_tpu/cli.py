@@ -125,6 +125,8 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
     key = cache.key(
         "select-apcs", guest=args.guest, program=_program_hash(program), apcs=args.apcs,
         superblocks=args.superblocks, optimistic=args.optimistic,
+        pgo_mode=getattr(args, "pgo_mode", "cell"),
+        max_total_columns=getattr(args, "max_total_columns", None),
     )
     cached = cache.load("select-apcs", key)
     if cached is None or args.no_cache:
@@ -132,7 +134,12 @@ def stage_select_apcs(args, cache: ArtifactCache, program, result):
         cands = generate_candidates(
             program, result, superblocks=args.superblocks, optimistic=args.optimistic
         )
-        apcs = select_apcs(cands, max_apcs=args.apcs)
+        apcs = select_apcs(
+            cands,
+            max_apcs=args.apcs,
+            max_total_columns=getattr(args, "max_total_columns", None),
+            mode=getattr(args, "pgo_mode", "cell"),
+        )
         for c in cands[: args.apcs]:
             r = c.apc.report
             print(
@@ -279,6 +286,14 @@ def main(argv=None):
                          "(the reference analyzer's format)")
     ap.add_argument("--superblocks", action="store_true",
                     help="mine multi-block APC candidates")
+    ap.add_argument("--pgo-mode", choices=["cell", "instruction", "none"],
+                    default="cell",
+                    help="APC selection cost model (reference pgo/mod.rs:29-34): "
+                         "cell = cells saved x executions under a column "
+                         "budget with overlap accounting; instruction = "
+                         "block length x executions; none = block length")
+    ap.add_argument("--max-total-columns", type=int, default=None,
+                    help="column budget for cell-mode selection")
     ap.add_argument("--optimistic", action="store_true",
                     help="bake empirically-observed constraints into APCs "
                          "(runtime-checked per occurrence)")

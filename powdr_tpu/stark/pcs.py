@@ -133,6 +133,33 @@ def _commit_impl_many(evals_tuple, log_blowup: int, shift: int):
     return tuple(out)
 
 
+@functools.partial(jax.jit, static_argnums=(1, 2))
+def _commit_impl_mixed(evals_tuple, log_blowup: int, shifts: tuple):
+    """A WHOLE commitment round (mixed heights, per-matrix coset shifts)
+    as one jitted program — on the tunneled chip each dispatch is a
+    ~0.4s round trip, so a 20-chip round pays ~13 height-group dispatches
+    otherwise."""
+    out = []
+    for evals, shift in zip(evals_tuple, shifts):
+        lde = _lde_matrix.__wrapped__(evals, log_blowup, shift)
+        layers = merkle._build_layers.__wrapped__(p2.hash_rows.__wrapped__(lde))
+        out.append((lde, layers))
+    return tuple(out)
+
+
+def batch_rounds() -> bool:
+    """Fuse each prover round's per-chip/per-group work into ONE jitted
+    dispatch.  Default on accelerator backends (dispatch round trips
+    dominate a tunneled chip); off on CPU, where the fused programs only
+    bloat test-suite compile time.  Override: POWDR_TPU_BATCH_ROUNDS."""
+    import os
+
+    env = os.environ.get("POWDR_TPU_BATCH_ROUNDS")
+    if env is not None:
+        return env == "1"
+    return jax.devices()[0].platform != "cpu"
+
+
 def commit_group(
     evals_list: Sequence[jnp.ndarray], config: StarkConfig, shift_pow: int = 0
 ) -> List[CommittedMatrix]:
@@ -173,6 +200,22 @@ def commit_round(entries, config: StarkConfig, commit_fn=None) -> List[Optional[
                 out[i] = cm
                 continue
         groups.setdefault((evals.shape[0], sp), []).append(i)
+    if len(groups) > 1 and not config_mod.eager_prover() and batch_rounds():
+        # whole round in one dispatch, mixed heights
+        idxs = [i for g in groups.values() for i in g]
+        shifts = tuple(
+            pow(config.coset_shift, 1 << entries[i][1], bb.P) for i in idxs
+        )
+        results = _commit_impl_mixed(
+            tuple(entries[i][0] for i in idxs), config.log_blowup, shifts
+        )
+        for i, (lde, layers) in zip(idxs, results):
+            tree = merkle.MerkleTree(list(layers))
+            out[i] = CommittedMatrix(
+                evals=entries[i][0], lde=lde, tree=tree, root=tree.root,
+                shift_pow=entries[i][1],
+            )
+        return out
     for (n, sp), idxs in groups.items():
         cms = commit_group([entries[i][0] for i in idxs], config, shift_pow=sp)
         for i, cm in zip(idxs, cms):
@@ -217,9 +260,18 @@ def _eval_matrix_at_many(evals, z_ms, s_ms, pts):
     return jax.vmap(lambda z, s: _eval_matrix_at(evals, z, s, pts))(z_ms, s_ms)
 
 
-def eval_at_points_device(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> jnp.ndarray:
-    """Claimed evaluations p_j(z) as an UNFETCHED (P, w, 4) canonical
-    device array — callers batch the fetch (one round trip per round)."""
+@jax.jit
+def _eval_all_matrices(evals_t, z_t, s_t, pts_t):
+    """Claimed evaluations for EVERY matrix of an opening round in one
+    dispatch, already converted to canonical form."""
+    return tuple(
+        bb.from_mont(_eval_matrix_at_many.__wrapped__(e, z, s, p))
+        for e, z, s, p in zip(evals_t, z_t, s_t, pts_t)
+    )
+
+
+def _eval_inputs(mat: CommittedMatrix, zs: Sequence[ExtVal]):
+    """(z_ms, s_ms, pts) device inputs for barycentric evaluation."""
     n = mat.n
     log_n = int(np.log2(n))
     n_inv = pow(n, bb.P - 2, bb.P)
@@ -231,6 +283,13 @@ def eval_at_points_device(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> jnp.nda
     z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
     s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
     pts = jnp.asarray(_subgroup_points(log_n))
+    return z_ms, s_ms, pts
+
+
+def eval_at_points_device(mat: CommittedMatrix, zs: Sequence[ExtVal]) -> jnp.ndarray:
+    """Claimed evaluations p_j(z) as an UNFETCHED (P, w, 4) canonical
+    device array — callers batch the fetch (one round trip per round)."""
+    z_ms, s_ms, pts = _eval_inputs(mat, zs)
     if config_mod.eager_prover():
         rows = [
             _eval_matrix_at.__wrapped__(mat.evals, z_ms[i], s_ms[i], pts)
@@ -275,6 +334,13 @@ def _accumulate_term(acc, folded, y_comb, inv_xz):
 def _inv_x_minus_z(xs: jnp.ndarray, z_m: jnp.ndarray) -> jnp.ndarray:
     diff = ext.sub(ext.from_base(xs), jnp.broadcast_to(z_m, (*xs.shape, 4)))
     return ext.inv(diff)
+
+
+@jax.jit
+def _reduced_codewords_all(group_args):
+    """All size groups' reduced codewords in one dispatch; each element of
+    group_args is (ldes, a_ms, y_ms, z_ms, xs) as for _reduced_codeword."""
+    return tuple(_reduced_codeword.__wrapped__(*args) for args in group_args)
 
 
 @jax.jit
@@ -331,10 +397,21 @@ def open_matrices(
     for m, lN in zip(mats, log_Ns):
         assert m.shift_pow == log_N_max - lN, "matrix committed with wrong shift"
 
-    # claimed evaluations -> transcript.  One dispatch per matrix (points
-    # batched) and ONE fetch for everything: the tunneled device->host
-    # link pays per round trip.
-    pending = [eval_at_points_device(mat, list(zs)) for mat, zs in zip(mats, points)]
+    # claimed evaluations -> transcript.  ONE dispatch for all matrices
+    # (batch_rounds) or one per matrix, and ONE fetch for everything: the
+    # tunneled device->host link pays per round trip.
+    if batch_rounds() and not config_mod.eager_prover() and len(mats) > 1:
+        ins = [_eval_inputs(mat, list(zs)) for mat, zs in zip(mats, points)]
+        pending = _eval_all_matrices(
+            tuple(m.evals for m in mats),
+            tuple(i[0] for i in ins),
+            tuple(i[1] for i in ins),
+            tuple(i[2] for i in ins),
+        )
+    else:
+        pending = [
+            eval_at_points_device(mat, list(zs)) for mat, zs in zip(mats, points)
+        ]
     fetched_vals = jax.device_get(pending)
     values = [[np.asarray(v[i]) for i in range(v.shape[0])] for v in fetched_vals]
     for vals in values:
@@ -363,19 +440,27 @@ def open_matrices(
             z_m = bb.to_mont(jnp.asarray(np.array(z, dtype=np.uint32)))
             groups.setdefault(log_N, []).append((mat.lde, a_m, y_m, z_m, shift))
     acc: Dict[int, jnp.ndarray] = {}
-    reduced_fn = (
-        _reduced_codeword.__wrapped__ if config_mod.eager_prover() else _reduced_codeword
-    )
+    eager = config_mod.eager_prover()
+    group_args = {}
     for log_N, terms in groups.items():
         shift = terms[0][4]
         xs = jnp.asarray(_coset_points(log_N, shift))
-        acc[log_N] = reduced_fn(
+        group_args[log_N] = (
             tuple(t[0] for t in terms),
             tuple(t[1] for t in terms),
             tuple(t[2] for t in terms),
             tuple(t[3] for t in terms),
             xs,
         )
+    if batch_rounds() and not eager and len(group_args) > 1:
+        # every size group's reduction in ONE dispatch
+        logs = tuple(sorted(group_args))
+        outs = _reduced_codewords_all(tuple(group_args[l] for l in logs))
+        acc = dict(zip(logs, outs))
+    else:
+        reduced_fn = _reduced_codeword.__wrapped__ if eager else _reduced_codeword
+        for log_N, args in group_args.items():
+            acc[log_N] = reduced_fn(*args)
 
     fri_proof = fri_mod.prove(acc, config, challenger)
 

@@ -139,6 +139,49 @@ def build_perm_trace(
     return perm, total
 
 
+#: fused-round jit cache: key includes id(air) — Airs are interned per
+#: fingerprint by vm.prove._AIR_CACHE, so repeat proofs of a guest reuse
+#: the traced program (the serving regime)
+_PERM_BATCH_CACHE: Dict[tuple, object] = {}
+
+
+def build_perm_traces_batched(
+    items: List[Tuple[Air, jnp.ndarray, List[List[int]], Optional[jnp.ndarray]]],
+    alpha: ExtVal,
+    beta: ExtVal,
+) -> List[Tuple[jnp.ndarray, jnp.ndarray]]:
+    """ALL chips' permutation traces in ONE jitted dispatch (per-chip jits
+    pay a ~0.5-1s tunnel round trip each on the real chip; a 20-chip round
+    is most of a proof's latency).  items: (air, trace, groups, pre);
+    returns [(perm, s_last_montgomery_dev)] aligned with items."""
+    alpha_arr = bb.to_mont(jnp.asarray(np.array(alpha, dtype=np.uint32)))
+    beta_arr = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
+    key = tuple(
+        (id(a), tuple(tuple(g) for g in groups), t.shape,
+         None if p is None else p.shape)
+        for a, t, groups, p in items
+    )
+    fn = _PERM_BATCH_CACHE.get(key)
+    if fn is None:
+        statics = [(a, tuple(tuple(g) for g in groups)) for a, _, groups, _ in items]
+
+        def core(traces, pres, alpha_m, beta_m):
+            return tuple(
+                _perm_core(a, g, t, alpha_m, beta_m, p)
+                for (a, g), t, p in zip(statics, traces, pres)
+            )
+
+        fn = jax.jit(core)
+        _PERM_BATCH_CACHE[key] = fn
+    outs = fn(
+        tuple(t for _, t, _, _ in items),
+        tuple(p for _, _, _, p in items),
+        alpha_arr,
+        beta_arr,
+    )
+    return list(outs)
+
+
 def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
     n = trace.shape[0]
     log_n = int(np.log2(n))
@@ -348,6 +391,61 @@ def _quotient_core(
     return jnp.concatenate(chunks, axis=1)  # (n, 4*blowup)
 
 
+_QUOT_BATCH_CACHE: Dict[tuple, object] = {}
+
+
+def compute_quotients_batched(
+    entries: List[tuple],
+    alpha_q: ExtVal,
+    config: StarkConfig,
+) -> List[jnp.ndarray]:
+    """ALL chips' quotient evaluations in ONE jitted dispatch.
+
+    entries: (air, logup_cons, lde_main, lde_perm, challenges, log_n,
+    shift_pow, lde_pre, publics) — the same per-chip arguments
+    compute_quotient takes; the fused program is cached on the airs'
+    identities so repeat proofs of a guest dispatch without retracing."""
+    aq_m = bb.to_mont(jnp.asarray(np.array(alpha_q, dtype=np.uint32)))
+    key = (config,) + tuple(
+        (id(a), log_n, sp, tuple(pub) if pub else None, lm.shape,
+         None if lp is None else lp.shape, None if lpre is None else lpre.shape,
+         tuple(sorted(ch.keys())))
+        for a, cons, lm, lp, ch, log_n, sp, lpre, pub in entries
+    )
+    fn = _QUOT_BATCH_CACHE.get(key)
+    if fn is None:
+        statics = [
+            (a, tuple(cons), log_n, config, sp, tuple(pub) if pub else None)
+            for a, cons, _, _, _, log_n, sp, _, pub in entries
+        ]
+
+        def core(mains, perms, presx, chs, aq):
+            return tuple(
+                _quotient_core(a, cons, log_n, cfg, sp, pub, m, p, pr, ch, aq)
+                for (a, cons, log_n, cfg, sp, pub), m, p, pr, ch in zip(
+                    statics, mains, perms, presx, chs
+                )
+            )
+
+        fn = jax.jit(core)
+        _QUOT_BATCH_CACHE[key] = fn
+    ch_ms = tuple(
+        {
+            k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32)))
+            for k, v in ch.items()
+        }
+        for _, _, _, _, ch, _, _, _, _ in entries
+    )
+    outs = fn(
+        tuple(e[2] for e in entries),
+        tuple(e[3] for e in entries),
+        tuple(e[7] for e in entries),
+        ch_ms,
+        aq_m,
+    )
+    return list(outs)
+
+
 def py_ext_pow_mul(a: ExtVal, b: ExtVal) -> ExtVal:
     return ext.py_mul(a, b)
 
@@ -459,27 +557,40 @@ def prove(
         # one fetch for roots + totals — transcript order per chip is
         # root, total)
         _progress("round 2: permutation traces")
-        groups_per_chip: List[List[List[int]]] = []
+        use_batch = pcs.batch_rounds() and not _eager_prover()
+        seg_list = list(
+            zip(chips[sl], shift_pows[sl.start : sl.stop], pres[sl])
+        )
+        groups_per_chip: List[List[List[int]]] = [
+            air_mod.batch_interactions(a, config.bus_interaction_degree)
+            if a.interactions
+            else []
+            for (a, _), _, _ in seg_list
+        ]
+        perm_items = [
+            (a, t, groups_per_chip[i], pre_cm.evals if pre_cm is not None else None)
+            for i, ((a, t), sp, pre_cm) in enumerate(seg_list)
+            if a.interactions
+        ]
+        if use_batch and len(perm_items) > 1:
+            perm_outs = build_perm_traces_batched(perm_items, alpha, beta)
+        else:
+            perm_outs = [
+                build_perm_trace(a, t, g, alpha, beta, pre_trace=p, defer_total=True)
+                for a, t, g, p in perm_items
+            ]
+        out_it = iter(perm_outs)
         totals: List[Optional[ExtVal]] = []
         total_devs = []
         perm_entries = []
-        for (a, t), sp, pre_cm in zip(
-            chips[sl], shift_pows[sl.start : sl.stop], pres[sl]
-        ):
+        for (a, t), sp, pre_cm in seg_list:
             if a.interactions:
-                groups = air_mod.batch_interactions(a, config.bus_interaction_degree)
-                perm, total = build_perm_trace(
-                    a, t, groups, alpha, beta,
-                    pre_trace=pre_cm.evals if pre_cm is not None else None,
-                    defer_total=True,
-                )
+                perm, total = next(out_it)
                 perm_entries.append((perm, sp))
-                groups_per_chip.append(groups)
                 total_devs.append(total)
                 totals.append(None)
             else:
                 perm_entries.append((None, sp))
-                groups_per_chip.append([])
                 totals.append((0, 0, 0, 0))
         perms = pcs.commit_round(perm_entries, config, commit_fn=batched_fn)
         live = [cm for cm in perms if cm is not None]
@@ -498,7 +609,8 @@ def prove(
 
         # round 3: quotients for this segment
         _progress("round 3: quotients")
-        q_entries = []
+        q_items = []
+        q_sps = []
         for (a, t), main_cm, perm_cm, groups, total, ln, sp, pre_cm, pub in zip(
             chips[sl], mains[sl], perms, groups_per_chip, totals,
             log_ns[sl.start : sl.stop], shift_pows[sl.start : sl.stop],
@@ -509,20 +621,23 @@ def prove(
             if a.interactions:
                 logup_cons, _ = air_mod.logup_constraints(a, groups)
                 challenges = {ALPHA_LOGUP: alpha, BETA_LOGUP: beta, TOTAL_LOGUP: total}
-            qm = compute_quotient(
-                a,
-                logup_cons,
-                main_cm.lde,
-                perm_cm.lde if perm_cm else None,
-                challenges,
-                alpha_q,
-                ln,
-                config,
-                shift_pow=sp,
-                lde_pre=pre_cm.lde if pre_cm is not None else None,
-                publics=pub,
-            )
-            q_entries.append((qm, sp))
+            q_items.append((
+                a, logup_cons, main_cm.lde,
+                perm_cm.lde if perm_cm else None, challenges, ln, sp,
+                pre_cm.lde if pre_cm is not None else None, pub,
+            ))
+            q_sps.append(sp)
+        if use_batch and len(q_items) > 1:
+            qms = compute_quotients_batched(q_items, alpha_q, config)
+        else:
+            qms = [
+                compute_quotient(
+                    a, cons, lm, lp, ch, alpha_q, ln, config,
+                    shift_pow=sp, lde_pre=lpre, publics=pub,
+                )
+                for a, cons, lm, lp, ch, ln, sp, lpre, pub in q_items
+            ]
+        q_entries = list(zip(qms, q_sps))
         quotients = pcs.commit_round(q_entries, config, commit_fn=batched_fn)
         observe_roots(quotients)
 

@@ -133,6 +133,15 @@ def build_apc(
                     ir.Sub(ir.Var(name=f"{ca}_{ia}", id=va), ir.Var(name=f"{cb}_{ib}", id=vb))
                 )
     optimized, report = optimize_machine(machine, VM_BUS_MAP, degree_bound, bus_ranges=bus_ranges)
+    # padding-row guards (reference add_guards, lib.rs:427-524): a machine
+    # the optimizer left non-padding-closed (inverse witnesses, constant
+    # multiplicities) gets an is_valid column guarding every constraint
+    # and multiplicity; machines already closed are left untouched
+    from ..apc.guards import add_guards, needs_guards
+
+    if needs_guards(optimized):
+        add_guards(optimized)
+        report.after = optimized.stats()
     return VmApc(
         block=block,
         machine=optimized,

@@ -168,3 +168,65 @@ def test_columnar_apc_witgen_matches_dict(sha_run):
             np.testing.assert_array_equal(
                 np.asarray(ca.trace[col]), np.asarray(cb.trace[col]), err_msg=f"{ca.name}.{col}"
             )
+
+
+def _fake_candidate(name, occurrences, per_exec_saved, width, n_ins=4):
+    """Synthetic Candidate for selection-policy tests (select_apcs only
+    touches value/cost fields and the opaque .apc)."""
+    from powdr_tpu.vm.pgo import Candidate
+
+    count = len(occurrences)
+    return Candidate(
+        apc=name,
+        execution_count=count,
+        cells_saved=count * per_exec_saved,
+        width=width,
+        n_instructions=n_ins,
+        occurrences=[list(o) for o in occurrences],
+    )
+
+
+def test_overlap_aware_selection_no_double_count():
+    """Two overlapping superblock candidates must not double-count shared
+    savings (reference pgo/cell/selection.rs:132): after A is selected,
+    B's value is re-counted over the execution with A's occurrences
+    removed, so the disjoint candidate C wins the second slot."""
+    from powdr_tpu.vm.pgo import select_apcs
+
+    occ_a = [list(range(10 * k, 10 * k + 4)) for k in range(10)]  # 10 execs
+    # B overlaps A in 9 of its 10 occurrences (offset +2 into A's span)
+    occ_b = [list(range(10 * k + 2, 10 * k + 6)) for k in range(9)] + [[990, 991, 992, 993]]
+    occ_c = [list(range(500 + 10 * k, 500 + 10 * k + 4)) for k in range(5)]
+    a = _fake_candidate("A", occ_a, per_exec_saved=100, width=10)  # value 1000
+    b = _fake_candidate("B", occ_b, per_exec_saved=90, width=10)  # naive 900, live 90
+    c = _fake_candidate("C", occ_c, per_exec_saved=100, width=10)  # value 500
+    chosen = select_apcs([a, b, c], max_apcs=2)
+    assert chosen == ["A", "C"], chosen
+    # without overlap info the naive greedy would have taken B second
+    for cand in (a, b, c):
+        cand.occurrences = None
+    naive = select_apcs([a, b, c], max_apcs=2)
+    assert naive == ["A", "B"], naive
+
+
+def test_instruction_and_none_pgo_modes():
+    """Reference PGO modes (pgo/mod.rs:29-34): instruction = block length
+    x executions; none = block length only (no profile)."""
+    from powdr_tpu.vm.pgo import select_apcs
+
+    short_hot = _fake_candidate("short_hot", [[i] for i in range(100)], 1, 5, n_ins=2)
+    long_cold = _fake_candidate("long_cold", [[1000], [1001]], 1, 5, n_ins=40)
+    # instruction mode: 2*100=200 beats 40*2=80
+    assert select_apcs([long_cold, short_hot], max_apcs=1, mode="instruction") == ["short_hot"]
+    # none mode: block length only, 40 beats 2
+    assert select_apcs([short_hot, long_cold], max_apcs=1, mode="none") == ["long_cold"]
+
+
+def test_column_budget_skips_but_continues():
+    """A candidate over the column budget is skipped, not a hard stop
+    (the reference 'item does not fit, skip it')."""
+    from powdr_tpu.vm.pgo import select_apcs
+
+    wide = _fake_candidate("wide", [[i] for i in range(50)], 100, width=90)
+    slim = _fake_candidate("slim", [[100 + i] for i in range(10)], 50, width=10)
+    assert select_apcs([wide, slim], max_total_columns=20) == ["slim"]
