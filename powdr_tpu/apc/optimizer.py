@@ -542,12 +542,113 @@ def exhaustive_search_pass(state: OptimizerState, bus_map=None) -> None:
     remove_trivial(state)
 
 
+#: max enumerated input-domain size for the hypothesis engine
+#: (low_degree_bus_interaction_optimizer.rs:314 MAX_DOMAIN_SIZE)
+MAX_DOMAIN_SIZE = 256
+
+#: well-known low-degree functions tested against the lookup's graph
+#: (low_degree_bus_interaction_optimizer.rs `hypotheses`)
+_HYPOTHESES_2 = [
+    ("first", lambda x, y: x),
+    ("sum", lambda x, y: x + y),
+    ("and", lambda x, y: x * y),
+    ("or", lambda x, y: x + y - x * y),
+    ("xor", lambda x, y: x + y - (x * y).scale(2)),
+]
+
+
+def _try_bitwise_low_degree(
+    b, ranges: Dict[int, RangeConstraint], bound: DegreeBound
+) -> "Optional[Tuple[List[GE], List[Tuple[GE, int]]]]":
+    """General hypothesis engine for the bitwise-xor lookup (x, y, z, 1):
+    pick two fields as inputs, enumerate their (small) joint domain,
+    derive the third from z = x ^ y, and test the hypothesis table; a
+    surviving hypothesis replaces the lookup by an algebraic constraint
+    plus plain range checks on the inputs
+    (low_degree_bus_interaction_optimizer.rs:96-150).  Returns
+    (constraints, [(expr, bits)] input range checks) or None."""
+    if len(b.args) != 4 or b.args[3].try_to_constant() != 1:
+        return None
+    fields = b.args[:3]
+    rcs = [rc_of_expr(f, ranges) for f in fields]
+    # the emitted range checks must EXACTLY cover the enumerated domain
+    # (a wider check would accept inputs the hypothesis was never tested
+    # on — the reference's batch_make_range_constraints soundness note),
+    # so only exact [0, 2^k) domains qualify
+    sizes = []
+    for rc in rcs:
+        bits = _pow2_mask_bits(rc)
+        if bits is None or (1 << bits) > MAX_DOMAIN_SIZE:
+            sizes.append(None)
+        else:
+            sizes.append(list(range(1 << bits)))
+    # input pairs among (x, y, z); the remaining field is the output,
+    # derived via xor semantics (x^y=z <=> x^z=y <=> y^z=x)
+    for i, j in ((0, 1), (0, 2), (1, 2)):
+        vi, vj = sizes[i], sizes[j]
+        if vi is None or vj is None or len(vi) * len(vj) > MAX_DOMAIN_SIZE:
+            continue
+        k = 3 - i - j
+        surviving = list(_HYPOTHESES_2)
+        ok = True
+        for a in vi:
+            for c in vj:
+                if i == 0 and j == 1:
+                    out = a ^ c
+                elif i == 0 and j == 2:
+                    out = a ^ c  # y = x ^ z
+                else:
+                    out = a ^ c  # x = y ^ z
+                surviving = [
+                    (n, f) for n, f in surviving
+                    if (f(GE.from_const(a), GE.from_const(c)).normalized()
+                        - GE.from_const(out)).normalized().try_to_constant() == 0
+                ]
+                if not surviving:
+                    ok = False
+                    break
+            if not ok:
+                break
+        if not surviving:
+            continue
+        _, f = surviving[0]
+        con = (fields[k] - f(fields[i], fields[j])).normalized()
+        mult_c = b.mult.try_to_constant()
+        if mult_c != 1:
+            if (b.mult.degree() + con.degree()) > bound.identities:
+                continue
+            con = (b.mult * con).normalized()
+        if con.degree() > bound.identities:
+            continue
+        checks = []
+        for idx in (i, j):
+            bits = (len(sizes[idx]) - 1).bit_length()
+            checks.append((fields[idx], bits))
+        return ([con] if con.try_to_constant() != 0 else []), checks
+    return None
+
+
 def low_degree_bus_opt(state: OptimizerState, bus_map, bound: DegreeBound) -> None:
-    """Replace cheap stateless lookups by algebraic constraints
-    (low_degree_bus_interaction_optimizer.rs:19-31): a range check
-    (x, bits) with 2^bits + deg(mult) + deg(x) <= identity bound becomes
-    mult * x * (x-1) * ... * (x-2^bits+1) = 0."""
+    """Replace stateless lookups by low-degree algebraic constraints
+    (low_degree_bus_interaction_optimizer.rs:19-31):
+
+    * a range check (x, bits) with 2^bits + deg(mult) + deg(x) <= bound
+      becomes mult * x * (x-1) * ... * (x-2^bits+1) = 0;
+    * a bitwise-xor lookup whose input domain is small (<= 256 joint
+      values) is matched against the hypothesis table (identity, sum,
+      bit-AND/OR/XOR); a surviving hypothesis replaces the lookup with
+      the algebraic function plus input range checks (which the range
+      optimizer then minimizes)."""
     keep = []
+    bw_id = None
+    for bid, btype in (bus_map.bus_ids.items() if bus_map else []):
+        name = btype if isinstance(btype, str) else btype[0]
+        if name == "BitwiseLookup":
+            bw_id = bid
+    vrc_id = None
+    for bid, btype in (bus_map.bus_ids.items() if bus_map else []):
+        if btype == "VariableRangeChecker":
+            vrc_id = bid
     for b in state.system.bus_interactions:
         btype = bus_map.bus_ids.get(b.id) if bus_map else None
         if btype == "VariableRangeChecker" and len(b.args) == 2:
@@ -561,6 +662,18 @@ def low_degree_bus_opt(state: OptimizerState, bus_map, bound: DegreeBound) -> No
                         prod = prod * (x - GE.from_const(v))
                     state.system.constraints.append(prod.normalized())
                     continue
+        elif b.id == bw_id and vrc_id is not None:
+            repl = _try_bitwise_low_degree(b, state.bus_ranges, bound)
+            if repl is not None:
+                cons, checks = repl
+                state.system.constraints.extend(cons)
+                for e, bits in checks:
+                    keep.append(
+                        BusInteractionGE(
+                            id=vrc_id, mult=b.mult, args=[e, GE.from_const(bits)]
+                        )
+                    )
+                continue
         keep.append(b)
     state.system.bus_interactions = keep
 

@@ -109,3 +109,45 @@ def test_range_check_dedup():
     assert len(sys_.bus_interactions) == 2
     kept_bits = sorted(int(b.args[1].try_to_constant()) for b in sys_.bus_interactions)
     assert kept_bits == [4, 8]
+
+
+def test_low_degree_bitwise_xor_replacement():
+    """General low-degree bus-interaction optimizer
+    (low_degree_bus_interaction_optimizer.rs:19-31): a bitwise-xor lookup
+    over a small exact pow2 domain is replaced by its multilinear
+    extension x + y - 2xy plus input range checks; byte-wide lookups
+    (domain 2^16) stay."""
+    from powdr_tpu.apc.optimizer import (
+        DegreeBound, OptimizerState, low_degree_bus_opt,
+    )
+    from powdr_tpu.apc.symbolic_machine import BusMap
+    from powdr_tpu.solver.constraint_system import BusInteractionGE, ConstraintSystemGE
+    from powdr_tpu.solver.grouped_expression import GroupedExpression as GE
+    from powdr_tpu.solver.range_constraint import RangeConstraint
+
+    bm = BusMap({3: "VariableRangeChecker", 6: "BitwiseLookup"})
+    x, y, z = GE.from_var(0), GE.from_var(1), GE.from_var(2)
+    a, b_, c = GE.from_var(3), GE.from_var(4), GE.from_var(5)
+    one = GE.from_const(1)
+    sys_ = ConstraintSystemGE(
+        bus_interactions=[
+            BusInteractionGE(id=6, mult=one, args=[x, y, z, one]),  # bits
+            BusInteractionGE(id=6, mult=one, args=[a, b_, c, one]),  # bytes
+        ]
+    )
+    state = OptimizerState(system=sys_, names={})
+    state.bus_ranges = {
+        0: RangeConstraint.from_mask(1), 1: RangeConstraint.from_mask(1),
+        3: RangeConstraint.from_mask(255), 4: RangeConstraint.from_mask(255),
+    }
+    low_degree_bus_opt(state, bm, DegreeBound())
+    kept_bw = [b for b in sys_.bus_interactions if b.id == 6]
+    kept_vrc = [b for b in sys_.bus_interactions if b.id == 3]
+    assert len(kept_bw) == 1  # byte lookup kept (domain 2^16 too big)
+    assert len(kept_vrc) == 2  # bit inputs re-checked on the range bus
+    # the xor multilinear extension landed as a constraint: z - (x+y-2xy)
+    expected = (z - (x + y - (x * y).scale(2))).normalized()
+    assert any(
+        c.normalized().key() == expected.key() or (GE.from_const(0) - c).normalized().key() == expected.key()
+        for c in sys_.constraints
+    ), [str(c) for c in sys_.constraints]
