@@ -130,9 +130,9 @@ def main() -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache/axon")
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    from powdr_tpu.utils import jaxcache
+
+    jaxcache.enable("axon")
 
     # e2e proof metrics FIRST (BASELINE's guest-keccak proofs/min is the
     # north-star number; the NTT sweep runs on whatever budget remains)

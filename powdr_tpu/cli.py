@@ -252,14 +252,11 @@ def _enable_jax_cache():
     env_platforms = os.environ.get("JAX_PLATFORMS")
     if env_platforms:
         jax.config.update("jax_platforms", env_platforms)
-    # cache dirs split per platform: axon compiles remotely, and its CPU
-    # AOT entries carry the remote host's machine features (loading them
-    # locally warns/deopts)
-    tag = (env_platforms or "axon").split(",")[0]
-    jax.config.update("jax_compilation_cache_dir", os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", f"/root/repo/.jax_cache/{tag}"))
-    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    # cache dirs keyed per platform AND host machine: CPU AOT entries
+    # carry the compile host's machine features (utils/jaxcache.py)
+    from .utils import jaxcache
+
+    jaxcache.enable((env_platforms or "axon").split(",")[0])
 
 
 def main(argv=None):

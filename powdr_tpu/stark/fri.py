@@ -102,6 +102,25 @@ def _fold_join_commit(cw, beta_m, inv2x, join):
     return nxt, _commit_layer.__wrapped__(nxt)
 
 
+@jax.jit
+def _gather_fri_queries(cws, layer_tuples, idx_tuple):
+    """Pair rows + sibling paths for every FRI layer in ONE dispatch."""
+    out = []
+    for cw, layers, i in zip(cws, layer_tuples, idx_tuple):
+        pairs = bb.from_mont(jnp.take(_pair_leaves.__wrapped__(cw), i, axis=0))
+        cur = i
+        sibs = []
+        for layer in layers[:-1]:
+            sibs.append(jnp.take(layer, cur ^ 1, axis=0))
+            cur = cur >> 1
+        if sibs:
+            paths = jnp.stack(sibs, axis=1)
+        else:
+            paths = jnp.zeros((i.shape[0], 0, p2.DIGEST), jnp.uint32)
+        out.append((pairs, paths))
+    return tuple(out)
+
+
 # -- proof containers --------------------------------------------------------
 
 
@@ -217,15 +236,32 @@ def prove(
         [challenger.sample_bits(log_n - 1) for _ in range(config.num_queries)],
         dtype=np.int64,
     )
-    idx = qs.copy()
-    gathers = []
-    for cw, tree in layers:
-        h = cw.shape[0] // 2
-        i = idx % h
-        pairs = bb.from_mont(jnp.take(_pair_leaves(cw), jnp.asarray(i), axis=0))
-        paths = tree.open_paths_device(i)
-        gathers.append((pairs, paths))
-        idx = i  # the folded value g[i] lives at index i of the next codeword
+    from .pcs import batch_rounds
+
+    if batch_rounds() and not eager and len(layers) > 1:
+        # all layers' pair rows + sibling paths in ONE dispatch (the
+        # eager loop costs ~2 + depth dispatches per layer)
+        idx = qs.copy()
+        idxs = []
+        for cw, _tree in layers:
+            i = idx % (cw.shape[0] // 2)
+            idxs.append(jnp.asarray(i))
+            idx = i
+        gathers = _gather_fri_queries(
+            tuple(cw for cw, _ in layers),
+            tuple(tuple(t.layers) for _, t in layers),
+            tuple(idxs),
+        )
+    else:
+        idx = qs.copy()
+        gathers = []
+        for cw, tree in layers:
+            h = cw.shape[0] // 2
+            i = idx % h
+            pairs = bb.from_mont(jnp.take(_pair_leaves(cw), jnp.asarray(i), axis=0))
+            paths = tree.open_paths_device(i)
+            gathers.append((pairs, paths))
+            idx = i  # the folded value g[i] lives at index i of the next codeword
     fetched = jax.device_get(gathers)
 
     queries = []

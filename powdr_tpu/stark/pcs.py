@@ -362,6 +362,27 @@ def _reduced_codeword(ldes, a_ms, y_ms, z_ms, xs):
 # -- opening proof ------------------------------------------------------------
 
 
+@jax.jit
+def _gather_openings(ldes, layer_tuples, idx_tuple):
+    """Query rows + sibling paths for every matrix in ONE dispatch.
+    idx_tuple[m]: (2*nq,) leaf indices; returns ((rows, paths), ...) with
+    rows canonical (2*nq, w) and paths (2*nq, depth, 8) Montgomery."""
+    out = []
+    for lde, layers, both in zip(ldes, layer_tuples, idx_tuple):
+        rows = bb.from_mont(jnp.take(lde, both, axis=0))
+        cur = both
+        sibs = []
+        for layer in layers[:-1]:
+            sibs.append(jnp.take(layer, cur ^ 1, axis=0))
+            cur = cur >> 1
+        if sibs:
+            paths = jnp.stack(sibs, axis=1)
+        else:
+            paths = jnp.zeros((both.shape[0], 0, p2.DIGEST), jnp.uint32)
+        out.append((rows, paths))
+    return tuple(out)
+
+
 @dataclass
 class PcsMatrixQuery:
     row_lo: np.ndarray  # (w,) canonical, row at index q
@@ -470,14 +491,29 @@ def open_matrices(
     # matrices (the old path) dominated end-to-end proof latency.
     qs = np.array([fq.index for fq in fri_proof.queries], dtype=np.int64)
     nq = len(qs)
-    gathers = []
-    for mat, log_N in zip(mats, log_Ns):
-        half = (1 << log_N) // 2
-        i_m = qs % half
-        both = np.concatenate([i_m, i_m + half])
-        rows = bb.from_mont(jnp.take(mat.lde, jnp.asarray(both), axis=0))
-        paths = mat.tree.open_paths_device(both)
-        gathers.append((rows, paths))
+    if batch_rounds() and not config_mod.eager_prover() and len(mats) > 1:
+        # one jitted program for EVERY matrix's rows + sibling paths: the
+        # eager per-matrix-per-layer takes are ~1300 dispatches on a
+        # 64-matrix opening, most of the warm proof's latency
+        idxs = []
+        for log_N in log_Ns:
+            half = (1 << log_N) // 2
+            i_m = qs % half
+            idxs.append(jnp.asarray(np.concatenate([i_m, i_m + half])))
+        gathers = _gather_openings(
+            tuple(m.lde for m in mats),
+            tuple(tuple(m.tree.layers) for m in mats),
+            tuple(idxs),
+        )
+    else:
+        gathers = []
+        for mat, log_N in zip(mats, log_Ns):
+            half = (1 << log_N) // 2
+            i_m = qs % half
+            both = np.concatenate([i_m, i_m + half])
+            rows = bb.from_mont(jnp.take(mat.lde, jnp.asarray(both), axis=0))
+            paths = mat.tree.open_paths_device(both)
+            gathers.append((rows, paths))
     fetched = jax.device_get(gathers)
 
     queries: List[PcsQuery] = []

@@ -145,6 +145,20 @@ def build_perm_trace(
 _PERM_BATCH_CACHE: Dict[tuple, object] = {}
 
 
+def _batch_cap() -> int:
+    """Max chips fused into one round dispatch.  Trace+compile cost grows
+    SUPERLINEARLY with program size (a 20-chip fused quotient spent 19+
+    min in trace/compile where per-chip jits summed to ~8), so rounds are
+    chunked: ceil(20/5) = 4 dispatches still beats 20, and each program
+    stays small enough to trace and compile in linear-ish time."""
+    return max(1, int(os.environ.get("POWDR_TPU_BATCH_CAP", "5")))
+
+
+def _chunks(items: List) -> List[List]:
+    cap = _batch_cap()
+    return [items[i : i + cap] for i in range(0, len(items), cap)]
+
+
 def build_perm_traces_batched(
     items: List[Tuple[Air, jnp.ndarray, List[List[int]], Optional[jnp.ndarray]]],
     alpha: ExtVal,
@@ -200,22 +214,49 @@ def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
         assert tag == "b", "interaction exprs must be base-field"
         return arr
 
+    # Vectorized across interactions: per-interaction graph construction
+    # (a beta-power chain and a Fermat-inverse per fingerprint) made a
+    # 17-interaction chip's perm program ~72k XLA ops (19 s to lower,
+    # minutes to compile).  Here: beta powers once, one (T, K, n) batched
+    # fingerprint contraction, ONE batched extension inverse — same
+    # values bit-for-bit, ~10x smaller program.
+    flat = [t_idx for group in groups for t_idx in group]
+    T = len(flat)
+    K = max((len(air.interactions[t].args) for t in flat), default=0)
+    bps = [beta_m]
+    for _ in range(max(K - 1, 0)):
+        bps.append(ext.mul(bps[-1], beta_m))
+    B = jnp.stack(bps) if bps else jnp.zeros((0, 4), jnp.uint32)  # (K, 4)
+    rows = []
+    ms = []
+    for t_idx in flat:
+        t = air.interactions[t_idx]
+        argv = [jnp.broadcast_to(eval_base(a), (n,)) for a in t.args]
+        argv += [jnp.zeros((n,), jnp.uint32)] * (K - len(argv))
+        rows.append(jnp.stack(argv))  # (K, n)
+        ms.append(jnp.broadcast_to(eval_base(t.mult), (n,)))
+    A = jnp.stack(rows)  # (T, K, n)
+    # sum_k beta^{k+1} * arg_k, batched over (T, K, n, 4)
+    contrib = ext.mul_base(jnp.broadcast_to(B[None, :, None, :], (T, K, n, 4)), A)
+    s = contrib[:, 0] if K else jnp.zeros((T, n, 4), jnp.uint32)
+    for k in range(1, K):
+        s = ext.add(s, contrib[:, k])
+    # f = alpha + bus_id + s
+    F = ext.add(s, jnp.broadcast_to(alpha_m, (T, n, 4)))
+    bus_m = jnp.asarray(
+        bb.np_to_mont(
+            np.array([air.interactions[t].bus_id for t in flat], dtype=np.uint32)
+        )
+    )
+    F = F.at[:, :, 0].set(bb.add(F[:, :, 0], bus_m[:, None]))
+    terms = ext.mul_base(ext.inv(F), jnp.stack(ms))  # (T, n, 4)
     h_cols: List[jnp.ndarray] = []
+    off = 0
     for group in groups:
-        h: Optional[jnp.ndarray] = None
-        for t_idx in group:
-            t = air.interactions[t_idx]
-            # fingerprint f = alpha + bus_id + sum beta^{j+1} arg_j
-            f = jnp.tile(alpha_m, (n, 1))
-            f = f.at[:, 0].set(bb.add(f[:, 0], bb.to_mont(jnp.uint32(t.bus_id))))
-            bp = beta_m
-            for a in t.args:
-                av = eval_base(a)
-                f = ext.add(f, ext.mul_base(jnp.broadcast_to(bp, (n, 4)), av))
-                bp = ext.mul(bp, beta_m)
-            m = eval_base(t.mult)
-            term = ext.mul_base(ext.inv(f), m)
-            h = term if h is None else ext.add(h, term)
+        h = terms[off]
+        for k in range(1, len(group)):
+            h = ext.add(h, terms[off + k])
+        off += len(group)
         h_cols.append(h)
 
     h_tot = h_cols[0]
@@ -352,15 +393,33 @@ def _quotient_core(
     alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup, lde_pre=lde_pre, publics=pub_map)
     cache: Dict[int, object] = {}
 
+    # Batched constraint folding: the sequential apow chain + one ext.mul
+    # per constraint inlined ~250 ops per constraint into the graph; a
+    # lax.scan power chain + stacked one-shot multiplies keep the program
+    # ~10x smaller.  Modular sums are order-independent, so the folded
+    # values are bit-identical to the sequential loop's.
+    cons_all = list(air.constraints) + list(logup_cons)
+    evals = [ir.evaluate(con, alg, cache) for con in cons_all]
+    C = len(evals)
+    one_e = jnp.zeros(4, dtype=jnp.uint32).at[0].set(bb.R_MOD_P)
+
+    def _apow_step(carry, _):
+        return ext.mul(carry, alpha_q_m), carry
+
+    _, apows = jax.lax.scan(_apow_step, one_e, None, length=max(C, 1))  # (C, 4)
     acc = ext.zero((N,))
-    apow = jnp.zeros(4, dtype=jnp.uint32).at[0].set(bb.R_MOD_P)  # ext one
-    for con in list(air.constraints) + list(logup_cons):
-        tag, arr = ir.evaluate(con, alg, cache)
-        if tag == "b":
-            acc = ext.add(acc, ext.mul_base(jnp.broadcast_to(apow, (N, 4)), arr))
-        else:
-            acc = ext.add(acc, ext.mul(jnp.broadcast_to(apow, (N, 4)), arr))
-        apow = ext.mul(apow, alpha_q_m)
+    bidx = [i for i, (tag, _) in enumerate(evals) if tag == "b"]
+    eidx = [i for i, (tag, _) in enumerate(evals) if tag == "e"]
+    if bidx:
+        Ab = jnp.stack([jnp.broadcast_to(evals[i][1], (N,)) for i in bidx])
+        Pb = apows[jnp.asarray(np.array(bidx, dtype=np.int32))]  # (Cb, 4)
+        acc = ext.add(acc, bb.sum_mod(bb.mont_mul(Pb[:, None, :], Ab[..., None]), axis=0))
+    if eidx:
+        Ae = jnp.stack([jnp.broadcast_to(evals[i][1], (N, 4)) for i in eidx])
+        Pe = jnp.broadcast_to(
+            apows[jnp.asarray(np.array(eidx, dtype=np.int32))][:, None, :], Ae.shape
+        )
+        acc = ext.add(acc, bb.sum_mod(ext.mul(Pe, Ae), axis=0))
 
     # divide by Z_H pointwise: Z_H has `blowup` distinct values on the coset
     zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, chip_shift)["z_h"]
@@ -573,7 +632,9 @@ def prove(
             if a.interactions
         ]
         if use_batch and len(perm_items) > 1:
-            perm_outs = build_perm_traces_batched(perm_items, alpha, beta)
+            perm_outs = []
+            for chunk in _chunks(perm_items):
+                perm_outs.extend(build_perm_traces_batched(chunk, alpha, beta))
         else:
             perm_outs = [
                 build_perm_trace(a, t, g, alpha, beta, pre_trace=p, defer_total=True)
@@ -628,7 +689,9 @@ def prove(
             ))
             q_sps.append(sp)
         if use_batch and len(q_items) > 1:
-            qms = compute_quotients_batched(q_items, alpha_q, config)
+            qms = []
+            for chunk in _chunks(q_items):
+                qms.extend(compute_quotients_batched(chunk, alpha_q, config))
         else:
             qms = [
                 compute_quotient(

@@ -13,29 +13,20 @@ os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 ).strip()
 
-import hashlib
-import platform
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import jax
 
-
-def _machine_tag() -> str:
-    """Key the persistent compile cache by host CPU features: XLA:CPU AOT
-    entries compiled on one machine can fail to load (or force recompiles)
-    on another — round 3's driver run lost its whole budget to exactly
-    that (MULTICHIP_r03 tail: 'machine feature mismatch')."""
-    try:
-        with open("/proc/cpuinfo") as f:
-            flags = next((l for l in f if l.startswith("flags")), "")
-    except OSError:
-        flags = ""
-    h = hashlib.sha256((platform.machine() + flags).encode()).hexdigest()[:12]
-    return f"cpu-{h}"
-
+from powdr_tpu.utils import jaxcache
 
 jax.config.update("jax_platforms", "cpu")
-jax.config.update("jax_compilation_cache_dir", f"/root/repo/.jax_cache/{_machine_tag()}")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# cache keyed by host machine (utils/jaxcache.py): XLA:CPU AOT entries
+# compiled on one machine fail to load on another — round 3's driver run
+# lost its whole budget to that (MULTICHIP_r03 'machine feature mismatch')
+jaxcache.enable("cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.4)
 from jax.extend.backend import clear_backends
 
