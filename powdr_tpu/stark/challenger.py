@@ -70,6 +70,24 @@ class Challenger:
         self._state = st
         self._output = list(bb.np_from_mont(st[: p2.RATE]))
 
+    # -- device-transcript handoff ------------------------------------------
+
+    def export_state(self) -> np.ndarray:
+        """Sponge state (16 Montgomery lanes) for a DEVICE-side transcript
+        segment (stark.fri's fused commit phase).  Only valid with no
+        pending absorptions — the device segment replays the duplex
+        discipline exactly from this state."""
+        assert not self._input, "pending absorptions; flush before handoff"
+        return self._state.copy()
+
+    def resume_state(self, state_mont: np.ndarray) -> None:
+        """Adopt the state a device transcript segment ended in.  Pending
+        outputs are dropped, so the next host operation MUST be an
+        observe (which clears squeezed output anyway)."""
+        self._state = np.asarray(state_mont, dtype=np.uint32).copy()
+        self._input = []
+        self._output = []
+
     # -- proof of work ------------------------------------------------------
 
     def grind(self, bits: int, batch: int = 4096) -> int:

@@ -103,6 +103,33 @@ def _fold_join_commit(cw, beta_m, inv2x, join):
 
 
 @jax.jit
+def _commit_phase_device(cw, joins, inv2xs, st0):
+    """The whole FRI commit phase in one program: per layer, build the
+    Merkle tree, absorb the root into the duplex sponge (overwrite-rate,
+    one permutation — exactly Challenger's discipline for an 8-lane
+    digest absorbed into an empty input buffer), squeeze beta from the
+    top-of-rate lanes (list.pop order: lanes 7,6,5,4), fold, add the
+    joining codeword.  Returns ([(cw, tree_layers)], final_cw, betas)."""
+    st = st0
+    outs = []
+    betas = []
+    for join, inv2x in zip(joins, inv2xs):
+        tree_layers = merkle._build_layers.__wrapped__(
+            p2.hash_rows.__wrapped__(_pair_leaves.__wrapped__(cw))
+        )
+        root = tree_layers[-1][0]  # (8,) Montgomery
+        st = st.at[: p2.RATE].set(root)
+        st = p2.permute(st[None, :])[0]
+        beta_m = jnp.flip(st[p2.RATE - 4 : p2.RATE])
+        outs.append((cw, tree_layers))
+        betas.append(beta_m)
+        cw = _fold_codeword.__wrapped__(cw, beta_m, inv2x)
+        if join is not None:
+            cw = ext.add(cw, join)
+    return outs, cw, tuple(betas)
+
+
+@jax.jit
 def _gather_fri_queries(cws, layer_tuples, idx_tuple):
     """Pair rows + sibling paths for every FRI layer in ONE dispatch."""
     out = []
@@ -186,30 +213,82 @@ def prove(
     cw = codeword[log_n]
     shift_pow = log_shift_pow
     cur_log = log_n
-    pending = commit_layer(cw) if cw.shape[0] > stop_n else None
-    while cw.shape[0] > stop_n:
-        tree = merkle.MerkleTree(list(pending))
-        root = np.asarray(tree.root)
-        roots.append(root)
-        challenger.observe_digest(root)
-        beta = challenger.sample_ext()
-        beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
-        shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
-        inv2x = jnp.asarray(_fold_inv2x_table(cur_log, shift))
-        layers.append((cw, tree))
-        # fold + (join) + next layer's whole Merkle commit in ONE dispatch:
-        # the transcript forces a fetch per layer, but not two dispatches
-        join = codeword.get(cur_log - 1)
-        if (1 << (cur_log - 1)) > stop_n:
-            if eager:
-                cw = _fold_join(cw, beta_m, inv2x, join)
-                pending = commit_layer(cw)
+
+    from .pcs import batch_rounds
+
+    if (
+        cw.shape[0] > stop_n
+        and batch_rounds()
+        and not eager
+        and hasattr(challenger, "export_state")
+        and not getattr(challenger, "_input", True)
+    ):
+        # DEVICE-side commit phase: the whole fold/commit ladder including
+        # the duplex-sponge transcript runs as ONE jitted program (the
+        # host loop pays a root fetch + sample round trip per layer — ~21
+        # of the warm proof's round trips).  The host challenger then
+        # replays the absorb/sample sequence from the fetched roots and
+        # asserts it derived the same betas, so the host transcript stays
+        # the source of truth for every later phase.
+        n_layers = 0
+        sizes = []
+        l = cur_log
+        while (1 << l) > stop_n:
+            sizes.append(l)
+            n_layers += 1
+            l -= 1
+        inv2xs = tuple(
+            jnp.asarray(
+                _fold_inv2x_table(lg, pow(config.coset_shift, 1 << (shift_pow + i), bb.P))
+            )
+            for i, lg in enumerate(sizes)
+        )
+        joins = tuple(codeword.get(lg - 1) for lg in sizes)
+        st0 = jnp.asarray(challenger.export_state())
+        outs, cw, betas_dev = _commit_phase_device(cw, joins, inv2xs, st0)
+        fetched_roots, fetched_betas = jax.device_get(
+            ([t[-1][0] for _, t in outs], betas_dev)
+        )
+        for (cw_l, tree_layers), root_m, beta_dev in zip(
+            outs, fetched_roots, fetched_betas
+        ):
+            tree = merkle.MerkleTree(list(tree_layers))
+            root = np.asarray(root_m)
+            roots.append(root)
+            challenger.observe_digest(root)
+            beta = challenger.sample_ext()
+            assert beta == tuple(
+                int(v) for v in bb.np_from_mont(np.asarray(beta_dev))
+            ), "device transcript diverged from host challenger"
+            layers.append((cw_l, tree))
+        shift_pow += n_layers
+        cur_log -= n_layers
+    else:
+        pending = commit_layer(cw) if cw.shape[0] > stop_n else None
+        while cw.shape[0] > stop_n:
+            tree = merkle.MerkleTree(list(pending))
+            root = np.asarray(tree.root)
+            roots.append(root)
+            challenger.observe_digest(root)
+            beta = challenger.sample_ext()
+            beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
+            shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
+            inv2x = jnp.asarray(_fold_inv2x_table(cur_log, shift))
+            layers.append((cw, tree))
+            # fold + (join) + next layer's whole Merkle commit in ONE
+            # dispatch: the transcript forces a fetch per layer, but not
+            # two dispatches
+            join = codeword.get(cur_log - 1)
+            if (1 << (cur_log - 1)) > stop_n:
+                if eager:
+                    cw = _fold_join(cw, beta_m, inv2x, join)
+                    pending = commit_layer(cw)
+                else:
+                    cw, pending = _fold_join_commit(cw, beta_m, inv2x, join)
             else:
-                cw, pending = _fold_join_commit(cw, beta_m, inv2x, join)
-        else:
-            cw = _fold_join(cw, beta_m, inv2x, join)
-        shift_pow += 1
-        cur_log -= 1
+                cw = _fold_join(cw, beta_m, inv2x, join)
+            shift_pow += 1
+            cur_log -= 1
 
     # final polynomial: interpolate the remaining codeword and un-shift
     from ..ntt import intt

@@ -624,3 +624,22 @@ def test_height_bucketing_proof(small_tables, monkeypatch):
     airs, proof = prove_chips(chips, cfg)
     assert min(proof.log_n) >= 6
     verify_chips(airs, proof, cfg)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("guest_fn", [sha256_guest, u256_add_guest, matmul_guest])
+def test_guest_stark_proofs(small_tables, guest_fn):
+    """Real STARK proof + verify for each single-segment BASELINE guest
+    (the reference's per-guest prove_simple tests,
+    openvm-riscv/src/lib.rs:345+); bench.py measures the same configs on
+    the real chip."""
+    from powdr_tpu.stark.config import StarkConfig
+    from powdr_tpu.vm.prove import prove_chips, verify_chips
+
+    prog, mem, check = guest_fn()
+    res = Executor(prog, mem).run()
+    check(res)
+    chips = build_chips(prog, res)
+    cfg = StarkConfig(log_blowup=2, num_queries=8, proof_of_work_bits=2)
+    airs, proof = prove_chips(chips, cfg)
+    verify_chips(airs, proof, cfg)
