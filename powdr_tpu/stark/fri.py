@@ -57,6 +57,13 @@ def _fold_inv2x_table(log_n: int, shift: int) -> np.ndarray:
     return bb.np_to_mont(tbl.astype(np.uint32))
 
 
+@functools.lru_cache(maxsize=None)
+def _fold_inv2x_dev(log_n: int, shift: int) -> jnp.ndarray:
+    """Device-resident copy, uploaded once (per-call host args re-cross
+    the tunneled link every proof)."""
+    return jnp.asarray(_fold_inv2x_table(log_n, shift))
+
+
 # -- device fold -------------------------------------------------------------
 
 
@@ -238,9 +245,7 @@ def prove(
             n_layers += 1
             l -= 1
         inv2xs = tuple(
-            jnp.asarray(
-                _fold_inv2x_table(lg, pow(config.coset_shift, 1 << (shift_pow + i), bb.P))
-            )
+            _fold_inv2x_dev(lg, pow(config.coset_shift, 1 << (shift_pow + i), bb.P))
             for i, lg in enumerate(sizes)
         )
         joins = tuple(codeword.get(lg - 1) for lg in sizes)
@@ -273,7 +278,7 @@ def prove(
             beta = challenger.sample_ext()
             beta_m = bb.to_mont(jnp.asarray(np.array(beta, dtype=np.uint32)))
             shift = pow(config.coset_shift, 1 << shift_pow, bb.P)
-            inv2x = jnp.asarray(_fold_inv2x_table(cur_log, shift))
+            inv2x = _fold_inv2x_dev(cur_log, shift)
             layers.append((cw, tree))
             # fold + (join) + next layer's whole Merkle commit in ONE
             # dispatch: the transcript forces a fetch per layer, but not
@@ -290,6 +295,9 @@ def prove(
             shift_pow += 1
             cur_log -= 1
 
+    from .prover import _progress
+
+    _progress("fri: commit phase done")
     # final polynomial: interpolate the remaining codeword and un-shift
     from ..ntt import intt
     from ..ntt.ntt import _shift_powers
@@ -307,6 +315,7 @@ def prove(
         challenger.observe_ext(c)
 
     pow_witness = challenger.grind(config.proof_of_work_bits)
+    _progress("fri: grind done")
 
     # queries: pairs + sibling paths gathered ON DEVICE per layer, one
     # device_get for everything (fetching whole codewords through the

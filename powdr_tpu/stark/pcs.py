@@ -233,9 +233,22 @@ def _subgroup_points(log_n: int) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=None)
+def _subgroup_points_dev(log_n: int) -> jnp.ndarray:
+    """Device-resident copy, uploaded ONCE: passing the host table as a
+    per-call argument re-transfers up to MBs through the tunneled link
+    every proof (36 s of a 50 s warm keccak proof was exactly this)."""
+    return jnp.asarray(_subgroup_points(log_n))
+
+
+@functools.lru_cache(maxsize=None)
 def _coset_points(log_n: int, shift: int) -> np.ndarray:
     t = _pow_table(bb.py_root_of_unity(log_n), 1 << log_n).astype(np.uint64)
     return bb.np_to_mont((t * (shift % bb.P) % bb.P).astype(np.uint32))
+
+
+@functools.lru_cache(maxsize=None)
+def _coset_points_dev(log_n: int, shift: int) -> jnp.ndarray:
+    return jnp.asarray(_coset_points(log_n, shift))
 
 
 @jax.jit
@@ -282,7 +295,7 @@ def _eval_inputs(mat: CommittedMatrix, zs: Sequence[ExtVal]):
         scalars.append(tuple(v * n_inv % bb.P for v in scalar))
     z_ms = bb.to_mont(jnp.asarray(np.array(zs, dtype=np.uint32)))
     s_ms = bb.to_mont(jnp.asarray(np.array(scalars, dtype=np.uint32)))
-    pts = jnp.asarray(_subgroup_points(log_n))
+    pts = _subgroup_points_dev(log_n)
     return z_ms, s_ms, pts
 
 
@@ -440,6 +453,9 @@ def open_matrices(
             for row in v:
                 challenger.observe_ext(tuple(int(c) for c in row))
 
+    from .prover import _progress
+
+    _progress("open: claimed evals fetched")
     alpha = challenger.sample_ext()
 
     # reduced codewords per size — one fused dispatch per size group
@@ -465,7 +481,7 @@ def open_matrices(
     group_args = {}
     for log_N, terms in groups.items():
         shift = terms[0][4]
-        xs = jnp.asarray(_coset_points(log_N, shift))
+        xs = _coset_points_dev(log_N, shift)
         group_args[log_N] = (
             tuple(t[0] for t in terms),
             tuple(t[1] for t in terms),
@@ -483,7 +499,9 @@ def open_matrices(
         for log_N, args in group_args.items():
             acc[log_N] = reduced_fn(*args)
 
+    _progress("open: reduced codewords built")
     fri_proof = fri_mod.prove(acc, config, challenger)
+    _progress("open: fri done")
 
     # per-query row openings (per-matrix indices: q mod (N_m / 2)).
     # All rows + sibling paths are gathered ON DEVICE and fetched in one
@@ -515,6 +533,7 @@ def open_matrices(
             paths = mat.tree.open_paths_device(both)
             gathers.append((rows, paths))
     fetched = jax.device_get(gathers)
+    _progress("open: query gathers fetched")
 
     queries: List[PcsQuery] = []
     for k in range(nq):

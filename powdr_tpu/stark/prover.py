@@ -175,6 +175,12 @@ def build_perm_traces_batched(
          None if p is None else p.shape)
         for a, t, groups, p in items
     )
+    args = (
+        tuple(t for _, t, _, _ in items),
+        tuple(p for _, _, _, p in items),
+        alpha_arr,
+        beta_arr,
+    )
     fn = _PERM_BATCH_CACHE.get(key)
     if fn is None:
         statics = [(a, tuple(tuple(g) for g in groups)) for a, _, groups, _ in items]
@@ -185,15 +191,24 @@ def build_perm_traces_batched(
                 for (a, g), t, p in zip(statics, traces, pres)
             )
 
-        fn = jax.jit(core)
+        # AOT-exported artifact keyed by air fingerprints: later processes
+        # skip trace+lower entirely (stark/aot.py)
+        fps = tuple(getattr(a, "_fp", None) for a, _, _, _ in items)
+        if all(fp is not None for fp in fps):
+            from . import aot
+
+            fn = aot.get_or_export(
+                ("perm", fps,
+                 tuple((t.shape, None if p is None else p.shape,
+                        tuple(tuple(g) for g in groups))
+                       for _, t, groups, p in items)),
+                core,
+                args,
+            )
+        if fn is None:
+            fn = jax.jit(core)
         _PERM_BATCH_CACHE[key] = fn
-    outs = fn(
-        tuple(t for _, t, _, _ in items),
-        tuple(p for _, _, _, p in items),
-        alpha_arr,
-        beta_arr,
-    )
-    return list(outs)
+    return list(fn(*args))
 
 
 def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
@@ -471,6 +486,20 @@ def compute_quotients_batched(
          tuple(sorted(ch.keys())))
         for a, cons, lm, lp, ch, log_n, sp, lpre, pub in entries
     )
+    ch_ms = tuple(
+        {
+            k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32)))
+            for k, v in ch.items()
+        }
+        for _, _, _, _, ch, _, _, _, _ in entries
+    )
+    args = (
+        tuple(e[2] for e in entries),
+        tuple(e[3] for e in entries),
+        tuple(e[7] for e in entries),
+        ch_ms,
+        aq_m,
+    )
     fn = _QUOT_BATCH_CACHE.get(key)
     if fn is None:
         statics = [
@@ -486,23 +515,24 @@ def compute_quotients_batched(
                 )
             )
 
-        fn = jax.jit(core)
+        fps = tuple(getattr(a, "_fp", None) for a, *_ in entries)
+        if all(fp is not None for fp in fps):
+            from . import aot
+
+            fn = aot.get_or_export(
+                ("quot", fps, config,
+                 tuple((log_n, sp, tuple(pub) if pub else None, lm.shape,
+                        None if lp is None else lp.shape,
+                        None if lpre is None else lpre.shape,
+                        tuple(sorted(ch.keys())))
+                       for a, cons, lm, lp, ch, log_n, sp, lpre, pub in entries)),
+                core,
+                args,
+            )
+        if fn is None:
+            fn = jax.jit(core)
         _QUOT_BATCH_CACHE[key] = fn
-    ch_ms = tuple(
-        {
-            k: bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32)))
-            for k, v in ch.items()
-        }
-        for _, _, _, _, ch, _, _, _, _ in entries
-    )
-    outs = fn(
-        tuple(e[2] for e in entries),
-        tuple(e[3] for e in entries),
-        tuple(e[7] for e in entries),
-        ch_ms,
-        aq_m,
-    )
-    return list(outs)
+    return list(fn(*args))
 
 
 def py_ext_pow_mul(a: ExtVal, b: ExtVal) -> ExtVal:

@@ -23,13 +23,24 @@ def machine_tag() -> str:
 
 
 def enable(platform_label: str, repo_root: str = "/root/repo") -> None:
-    """Point jax's persistent compile cache at a per-(platform, machine)
-    directory under <repo_root>/.jax_cache."""
+    """Point jax's persistent compile cache at the right directory under
+    <repo_root>/.jax_cache.
+
+    The CPU platform's cache is keyed by machine (its AOT entries embed
+    host CPU features).  Accelerator platforms (axon/tpu) share ONE
+    directory across machines: their big executables target the chip, not
+    the host, so a bench run on a new host reuses this session's warm
+    compiles; the few CPU-backend entries mixed into that directory just
+    warn and recompile on a foreign host."""
     import jax
 
+    name = (
+        f"{platform_label}-{machine_tag()}"
+        if platform_label == "cpu"
+        else platform_label
+    )
     path = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(repo_root, ".jax_cache", f"{platform_label}-{machine_tag()}"),
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(repo_root, ".jax_cache", name)
     )
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -111,6 +111,9 @@ def compile_chip(chip: Chip, min_log_height: Optional[int] = None) -> Tuple[Air,
             name=chip.name,
             preprocessed=pre,
         )
+        # content fingerprint: keys the AOT-exported prover programs
+        # (stark/aot.py) so artifacts survive process restarts
+        air._fp = key
         _AIR_CACHE[key] = air
     trace = bb.to_mont(jnp.asarray(main))
     return air, trace

@@ -22,6 +22,12 @@ import jax
 
 from powdr_tpu.utils import jaxcache
 
+# quick tier defaults to the EAGER prover: prover outputs are
+# byte-identical (pinned by tests/test_eager_parity.py) and the per-shape
+# XLA compiles otherwise dominate a cold suite run; tests that exercise
+# the jitted paths override the env var explicitly
+_os.environ.setdefault("POWDR_TPU_EAGER_PROVER", "1")
+
 jax.config.update("jax_platforms", "cpu")
 # cache keyed by host machine (utils/jaxcache.py): XLA:CPU AOT entries
 # compiled on one machine fail to load on another — round 3's driver run
