@@ -13,8 +13,11 @@ length-N vector as an (N1, N2) matrix and do
 
 With both DIFs emitting their digit in bit-reversed order, the final
 row-major layout is exactly the full bit-reversal, so this is a bit-exact
-drop-in for the ladder at large sizes.  Measured on the real chip:
-60.2 ms -> 6.0 ms at 2^24 (2.8 Gelem/s).
+drop-in for the ladder at large sizes.  The ladders run their stages in
+fused groups of GROUP_STAGES radix-2 stages per HBM pass (radix-16 by
+default), so a 12-stage ladder costs 3 passes over the array instead of
+12.  Measured on the real chip at 2^24: plain ladder 60.2 ms -> four-step
+6.1 ms -> fused groups 3.50 ms (4.79 Gelem/s).
 
 Replaces the NTT/LDE the reference outsources to the stark-backend fork
 (SURVEY.md §1 L5, /root/reference/Cargo.toml:88-100); this file is the
@@ -100,31 +103,70 @@ def tables_for(log_n: int, inverse: bool):
     )
 
 
+#: butterfly stages fused per HBM pass (radix-2^g).  Each group of g
+#: radix-2 stages becomes ONE slice->elementwise->concat expression that
+#: XLA compiles to a single fusion: one read + one write of the array
+#: instead of g.  The ladder is HBM-bound (measured: g=1 -> 6.2 ms at
+#: 2^24 on v5e vs a ~3.7 GB/819 GB/s = 4.5 ms traffic floor), so larger
+#: g is a near-linear win until VMEM/register pressure bites (g=4 is
+#: 2^4 = 16 live chunks; measured best on v5e).
+GROUP_STAGES = 4
+
+
 def _dif_axis(x: jnp.ndarray, log_n: int, tables) -> jnp.ndarray:
     """DIF ladder along axis -2 of (B, n, M): natural -> bit-reversed.
-    Trailing dim M stays intact at every stage, keeping lane layout wide."""
+    Trailing dim M stays intact at every stage, keeping lane layout wide.
+    Stages run in fused groups of GROUP_STAGES (see above)."""
     B, n, M = x.shape
     flat = x
-    for s in range(log_n):
-        h = n >> (s + 1)
-        y = flat.reshape(-1, 2 * h, M)
-        a, b = y[:, :h, :], y[:, h:, :]
-        lo = bb.add(a, b)
-        hi = bb.mont_mul(bb.sub(a, b), tables[s][None, :, None])
-        flat = jnp.concatenate([lo, hi], axis=1).reshape(B, n, M)
+    s0 = 0
+    while s0 < log_n:
+        g = min(GROUP_STAGES, log_n - s0)
+        H = n >> (s0 + g)  # chunk rows: the smallest half-size in the group
+        y = flat.reshape(-1, (1 << g) * H, M)
+        chunks = [y[:, i * H:(i + 1) * H, :] for i in range(1 << g)]
+        for j in range(g):
+            hc = 1 << (g - 1 - j)  # stage half-size, in chunks
+            t = tables[s0 + j]
+            tcs = [t[i * H:(i + 1) * H][None, :, None] for i in range(hc)]
+            nxt = []
+            for blk in range(0, 1 << g, 2 * hc):
+                a = chunks[blk:blk + hc]
+                b = chunks[blk + hc:blk + 2 * hc]
+                nxt += [bb.add(a[i], b[i]) for i in range(hc)]
+                nxt += [bb.mont_mul(bb.sub(a[i], b[i]), tcs[i]) for i in range(hc)]
+            chunks = nxt
+        flat = jnp.concatenate(chunks, axis=1).reshape(B, n, M)
+        s0 += g
     return flat
 
 
 def _dit_axis(x: jnp.ndarray, log_n: int, tables) -> jnp.ndarray:
-    """DIT ladder along axis -2 of (B, n, M): bit-reversed -> natural."""
+    """DIT ladder along axis -2 of (B, n, M): bit-reversed -> natural.
+    Same fused-group structure as _dif_axis, stages in reverse order."""
     B, n, M = x.shape
     flat = x
-    for s in range(log_n - 1, -1, -1):
-        h = n >> (s + 1)
-        y = flat.reshape(-1, 2 * h, M)
-        a = y[:, :h, :]
-        b = bb.mont_mul(y[:, h:, :], tables[s][None, :, None])
-        flat = jnp.concatenate([bb.add(a, b), bb.sub(a, b)], axis=1).reshape(B, n, M)
+    hi_s = log_n  # stages [lo_s, hi_s) remain; execute descending
+    while hi_s > 0:
+        g = min(GROUP_STAGES, hi_s)
+        s0 = hi_s - g
+        H = n >> (s0 + g)
+        y = flat.reshape(-1, (1 << g) * H, M)
+        chunks = [y[:, i * H:(i + 1) * H, :] for i in range(1 << g)]
+        for j in range(g - 1, -1, -1):
+            hc = 1 << (g - 1 - j)
+            t = tables[s0 + j]
+            tcs = [t[i * H:(i + 1) * H][None, :, None] for i in range(hc)]
+            nxt = []
+            for blk in range(0, 1 << g, 2 * hc):
+                a = chunks[blk:blk + hc]
+                braw = chunks[blk + hc:blk + 2 * hc]
+                b = [bb.mont_mul(braw[i], tcs[i]) for i in range(hc)]
+                nxt += [bb.add(a[i], b[i]) for i in range(hc)]
+                nxt += [bb.sub(a[i], b[i]) for i in range(hc)]
+            chunks = nxt
+        flat = jnp.concatenate(chunks, axis=1).reshape(B, n, M)
+        hi_s = s0
     return flat
 
 
@@ -137,7 +179,10 @@ def fourstep_nat_to_rev(x: jnp.ndarray, t1, t2, mid) -> jnp.ndarray:
     Column DIF gives C[rev(k1), i2]; the mid table is pre-permuted to
     T[rev(k1), i2]; the second column DIF (after a transpose) gives
     F[rev(k2), rev(k1)]; transposing back yields row-major index
-    rev_l1(k1)*N2 + rev_l2(k2) = rev_N(k)."""
+    rev_l1(k1)*N2 + rev_l2(k2) = rev_N(k).  The mid multiply fuses into
+    the transpose copy for free (measured: folding it into the second
+    ladder's first group instead is 0.7 ms SLOWER at 2^24 — the fold
+    adds a 64 MB table read to the group's fusion)."""
     N1, N2 = mid.shape
     l1, l2 = int(np.log2(N1)), int(np.log2(N2))
     batch = x.shape[:-1]

@@ -98,37 +98,6 @@ def test_eval_poly_at_ext(rng):
     assert tuple(got) == acc
 
 
-def test_mxu_ntt_matches_ladder(rng):
-    """MXU matmul-NTT (canonical form) must equal the radix-2 ladder's
-    bit-reversed output exactly."""
-    import jax.numpy as jnp
-    from powdr_tpu.ntt.mxu import ntt_mxu_nat_to_rev
-    from powdr_tpu.ntt.ntt import ntt_natural_to_rev
-
-    for log_n in (4, 9, 13):
-        n = 1 << log_n
-        x = rng.integers(0, P, size=n, dtype=np.uint64).astype(np.uint32)
-        expect = np.asarray(bb.from_mont(ntt_natural_to_rev(bb.to_mont(jnp.asarray(x)))))
-        got = np.asarray(ntt_mxu_nat_to_rev(jnp.asarray(x)))
-        np.testing.assert_array_equal(got, expect)
-
-
-def test_pallas_fourstep_matches_ladder(rng):
-    """Fused Pallas four-step (interpret mode on CPU) must equal the
-    ladder's bit-reversed output exactly."""
-    import jax.numpy as jnp
-    from powdr_tpu.ntt.ntt import ntt_natural_to_rev
-    from powdr_tpu.ntt.pallas_ntt import make_ntt2d
-
-    for log_r in (3, 4):
-        n = 1 << (2 * log_r)
-        x = rng.integers(0, P, size=n, dtype=np.uint64).astype(np.uint32)
-        xm = bb.to_mont(jnp.asarray(x))
-        expect = np.asarray(ntt_natural_to_rev(xm))
-        got = np.asarray(make_ntt2d(log_r, tile_rows=1 << log_r)(xm))
-        np.testing.assert_array_equal(got, expect)
-
-
 def test_fourstep_matches_ladder(rng):
     """Bailey four-step (the shipped big-size path, ntt/fourstep.py) must
     equal the radix-2 ladder bit-exactly in all four directions, batched
