@@ -80,7 +80,8 @@ class Proof:
 # trace-domain evaluation helpers
 
 
-def _trace_selectors(log_n: int) -> Dict[str, jnp.ndarray]:
+@functools.lru_cache(maxsize=None)
+def _trace_selectors_np(log_n: int) -> Dict[str, np.ndarray]:
     n = 1 << log_n
     first = np.zeros(n, dtype=np.uint32)
     first[0] = bb.R_MOD_P
@@ -89,11 +90,11 @@ def _trace_selectors(log_n: int) -> Dict[str, jnp.ndarray]:
     x = _pow_table(bb.py_root_of_unity(log_n), n).astype(np.uint64)
     w_last = pow(bb.py_root_of_unity(log_n), n - 1, bb.P)
     trans = bb.np_to_mont(((x - w_last) % bb.P).astype(np.uint32))
-    return {
-        "is_first": jnp.asarray(first),
-        "is_last": jnp.asarray(last),
-        "is_transition": jnp.asarray(trans),
-    }
+    return {"is_first": first, "is_last": last, "is_transition": trans}
+
+
+def _trace_selectors(log_n: int) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in _trace_selectors_np(log_n).items()}
 
 
 def _roll_rows(arr: jnp.ndarray, rot: int, step: int) -> jnp.ndarray:
@@ -215,12 +216,41 @@ def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
     n = trace.shape[0]
     log_n = int(np.log2(n))
     sel = _trace_selectors(log_n)
-    alg = air_mod._mixed_algebra(
+    return _perm_body(
+        air,
+        groups,
+        n,
+        alpha_m,
+        beta_m,
         main_col=lambda i, r: _roll_rows(trace[:, i], r, 1),
+        pre_col=(lambda i, r: _roll_rows(pre_trace[:, i], r, 1))
+        if pre_trace is not None
+        else None,
+        selectors=sel,
+        scan_fn=_scan_local,
+    )
+
+
+def _scan_local(h_tot):
+    """Inclusive modular prefix sum + grand total, single-device."""
+    s_incl = jax.lax.associative_scan(bb.add, h_tot, axis=0)
+    return s_incl, s_incl[-1]
+
+
+def _perm_body(air, groups, n, alpha_m, beta_m, main_col, pre_col, selectors, scan_fn):
+    """The LogUp permutation-trace algebra, independent of data placement.
+
+    main_col/pre_col supply (possibly halo-exchanged) rotated columns and
+    scan_fn the inclusive prefix sum — the single-device path uses local
+    roll + associative_scan, the mesh path (parallel/perm.py) shard-local
+    versions with ppermute/all_gather, so both produce bit-identical
+    traces from one body."""
+    alg = air_mod._mixed_algebra(
+        main_col=main_col,
         perm_col=lambda i, r: (_ for _ in ()).throw(ValueError("no perm cols yet")),
         challenges={},
-        selectors=sel,
-        pre_col=(lambda i, r: _roll_rows(pre_trace[:, i], r, 1)) if pre_trace is not None else None,
+        selectors=selectors,
+        pre_col=pre_col,
     )
     cache: Dict[int, object] = {}
 
@@ -277,12 +307,12 @@ def _perm_core(air, groups, trace, alpha_m, beta_m, pre_trace):
     h_tot = h_cols[0]
     for h in h_cols[1:]:
         h_tot = ext.add(h_tot, h)
-    s_incl = jax.lax.associative_scan(bb.add, h_tot, axis=0)
+    s_incl, total = scan_fn(h_tot)
     s_excl = ext.sub(s_incl, h_tot)
 
     cols = h_cols + [s_excl]
     perm = jnp.concatenate([c.reshape(n, 4) for c in cols], axis=1)
-    return perm, s_incl[-1]
+    return perm, total
 
 
 # ---------------------------------------------------------------------------
@@ -406,6 +436,30 @@ def _quotient_core(
     sel = air_mod.lde_selectors(log_n, config.log_blowup, chip_shift)
     pub_map = dict(enumerate(publics)) if publics else None
     alg = _lde_algebra(lde_main, lde_perm, ch_m, sel, blowup, lde_pre=lde_pre, publics=pub_map)
+    q = _quotient_pointwise(
+        air, logup_cons, alg, N, alpha_q_m,
+        jnp.asarray(_zh_inv_tile_np(log_n, config, chip_shift, N)),
+    )
+    return _quotient_tail(q, log_n, config, chip_shift)
+
+
+@functools.lru_cache(maxsize=None)
+def _zh_inv_tile_np(log_n: int, config, chip_shift: int, length: int) -> np.ndarray:
+    """1/Z_H over the coset, Montgomery: `blowup`-periodic, tiled to
+    `length` rows (pass a shard length for the mesh kernels)."""
+    blowup = config.blowup
+    zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, chip_shift)["z_h"]
+    zh_inv = np.array(
+        [pow(int(v), bb.P - 2, bb.P) for v in zh_np[:blowup]], dtype=np.uint32
+    )
+    return np.tile(bb.np_to_mont(zh_inv), length // blowup)
+
+
+def _quotient_pointwise(air, logup_cons, alg, N, alpha_q_m, zh_inv_m):
+    """Row-pointwise half of the quotient: evaluate + fold every
+    constraint over the (local) coset rows and divide by Z_H.  Placement-
+    agnostic — the mesh kernel (parallel/quotient.py) calls this with a
+    halo-exchanged algebra and shard-local selector slices."""
     cache: Dict[int, object] = {}
 
     # Batched constraint folding: the sequential apow chain + one ext.mul
@@ -437,13 +491,12 @@ def _quotient_core(
         acc = ext.add(acc, bb.sum_mod(ext.mul(Pe, Ae), axis=0))
 
     # divide by Z_H pointwise: Z_H has `blowup` distinct values on the coset
-    zh_np = air_mod.lde_selectors_np(log_n, config.log_blowup, chip_shift)["z_h"]
-    zh_inv = np.array(
-        [pow(int(v), bb.P - 2, bb.P) for v in zh_np[:blowup]], dtype=np.uint32
-    )
-    zh_inv_m = jnp.asarray(np.tile(bb.np_to_mont(zh_inv), N // blowup))
-    q = ext.mul_base(acc, zh_inv_m)
+    return ext.mul_base(acc, zh_inv_m)
 
+
+def _quotient_tail(q, log_n, config, chip_shift):
+    n = 1 << log_n
+    blowup = config.blowup
     # interpolate on the coset and un-shift, all in bit-reversed coefficient
     # layout (gather-free): chunk k of natural coeffs [kn,(k+1)n) lives at
     # rev_N positions j*blowup + rev_b(k), so chunk extraction is a narrow
