@@ -48,16 +48,22 @@ def prove_on_mesh(
     replicated; large chips shard.  The returned Proof is bit-identical
     to `stark.prover.prove(chips, config, challenger)` on one chip.
 
-    downstream: "auto" leaves the committed LDEs sharded so XLA's
-    auto-SPMD partitioner propagates the sharding through perm/quotient/
-    FRI (inserting psum/all-gather itself); "replicated" (default) pulls
+    downstream: "sharded" (the full mesh path) runs perm traces and
+    quotients through the EXPLICIT shard_map kernels (parallel/perm.py,
+    parallel/quotient.py: ppermute halos for next-row rotations,
+    associative_scan + all_gather prefix for the LogUp running sum,
+    sharded four-step NTTs for the quotient tail) on every chip large
+    enough to shard, keeps all committed LDEs mesh-resident through those
+    stages, and replicates only at the opening round (one bulk transfer)
+    so the FRI jits stay single-device and compile time stays bounded.
+    "auto" leaves the committed LDEs sharded so XLA's auto-SPMD
+    partitioner propagates the sharding through perm/quotient/FRI
+    (inserting psum/all-gather itself); "replicated" (fallback) pulls
     each commitment's results onto the default device after the sharded
-    NTT+Merkle — the FLOPs-dominant stages still run on the mesh with
-    explicit shard_map collectives, while the downstream stages keep
-    single-device semantics.  Auto-SPMD over the full VM constraint
-    graphs triggers pathological SPMD-partitioner compile times and CPU
-    collective-rendezvous timeouts at real chip-set scale; "auto" remains
-    the right mode for few-chip/large-matrix workloads."""
+    NTT+Merkle.  Auto-SPMD over the full VM constraint graphs triggers
+    pathological SPMD-partitioner compile times and CPU collective-
+    rendezvous timeouts at real chip-set scale — "sharded" exists
+    precisely so the downstream stages partition WITHOUT auto-SPMD."""
     # POWDR_TPU_SHARD_MIN_LOG_N: matrices below this height commit on the
     # default batched single-device path (sharding a 64-row periphery
     # table is all compile + collective overhead); sharded or not, the
@@ -98,6 +104,53 @@ def prove_on_mesh(
             )
         return cm
 
+    perm_fn = quotient_fn = pre_open_fn = None
+    if downstream == "sharded":
+        from ..field import babybear as bb
+        from . import perm as sh_perm
+        from . import quotient as sh_quot
+
+        def _ext_m(v):
+            return bb.to_mont(jnp.asarray(np.array(v, dtype=np.uint32)))
+
+        def perm_fn(air, trace, groups, alpha, beta, pre):
+            if not _shards(int(np.log2(trace.shape[0]))):
+                return None  # periphery chip: single-device fallback
+            return sh_perm.build_perm_trace_sharded(
+                air, trace, groups, _ext_m(alpha), _ext_m(beta), mesh, pre_trace=pre
+            )
+
+        def quotient_fn(air, cons, lm, lp, ch, alpha_q, ln, sp, lpre, pub):
+            if not _shards(ln):
+                return None
+            ch_m = {k: _ext_m(v) for k, v in ch.items()}
+            return sh_quot.compute_quotient_sharded(
+                air, tuple(cons), lm, lp, ch_m, _ext_m(alpha_q), ln, config,
+                mesh, shift_pow=sp, lde_pre=lpre, publics=pub,
+            )
+
+        def _is_sharded(x) -> bool:
+            try:
+                return len(x.sharding.device_set) > 1
+            except AttributeError:
+                return False
+
+        def pre_open_fn(matrices):
+            """Replicate mesh-resident commitments in ONE bulk transfer so
+            the opening-phase jits (reduced codewords, FRI folds) never see
+            sharded operands (auto-SPMD compile blowup)."""
+            live = [cm for cm in matrices if cm is not None and _is_sharded(cm.lde)]
+            if not live:
+                return
+            fetched = jax.device_get(
+                [(cm.evals, cm.lde, tuple(cm.tree.layers)) for cm in live]
+            )
+            for cm, (ev, lde, layers) in zip(live, fetched):
+                cm.evals = jnp.asarray(ev)
+                cm.lde = jnp.asarray(lde)
+                cm.tree = merkle.MerkleTree([jnp.asarray(l) for l in layers])
+
     return stark_prover.prove(
-        placed, config, challenger, publics=publics, commit_fn=commit_fn
+        placed, config, challenger, publics=publics, commit_fn=commit_fn,
+        perm_fn=perm_fn, quotient_fn=quotient_fn, pre_open_fn=pre_open_fn,
     )

@@ -603,6 +603,9 @@ def prove(
     publics: Optional[Sequence[Optional[List[int]]]] = None,
     commit_fn=None,
     segments: Optional[List[int]] = None,
+    perm_fn=None,
+    quotient_fn=None,
+    pre_open_fn=None,
 ) -> Proof:
     """publics: per-chip lists of canonical public values (bound into the
     transcript before any commitment round).
@@ -611,6 +614,14 @@ def prove(
     the mesh-sharded prover (powdr_tpu.parallel.prover) injects its
     sharded LDE+Merkle here; every other stage is sharding-agnostic jnp
     and partitions automatically from the committed arrays' shardings.
+
+    perm_fn(air, trace, groups, alpha, beta, pre) / quotient_fn(air,
+    logup_cons, lde_main, lde_perm, challenges, alpha_q, log_n, shift_pow,
+    lde_pre, publics) override the perm-trace / quotient stages per chip
+    (the mesh prover's explicit shard_map kernels hook in here); return
+    None to decline a chip and fall back to the single-device stage.
+    perm_fn must return (perm, total) with total the UNFETCHED (4,)
+    Montgomery device array (the defer_total contract).
 
     segments: chip counts per segment.  With S>1 segments the proof
     carries one PCS/FRI opening per segment, and the perm/quotient/open
@@ -714,15 +725,26 @@ def prove(
             for i, ((a, t), sp, pre_cm) in enumerate(seg_list)
             if a.interactions
         ]
-        if use_batch and len(perm_items) > 1:
-            perm_outs = []
-            for chunk in _chunks(perm_items):
-                perm_outs.extend(build_perm_traces_batched(chunk, alpha, beta))
+        perm_outs: List[Optional[tuple]] = [None] * len(perm_items)
+        rest = []
+        for i, (a, t, g, p) in enumerate(perm_items):
+            out = perm_fn(a, t, g, alpha, beta, p) if perm_fn is not None else None
+            if out is None:
+                rest.append(i)
+            else:
+                perm_outs[i] = out
+        rest_items = [perm_items[i] for i in rest]
+        if use_batch and len(rest_items) > 1:
+            outs = []
+            for chunk in _chunks(rest_items):
+                outs.extend(build_perm_traces_batched(chunk, alpha, beta))
         else:
-            perm_outs = [
+            outs = [
                 build_perm_trace(a, t, g, alpha, beta, pre_trace=p, defer_total=True)
-                for a, t, g, p in perm_items
+                for a, t, g, p in rest_items
             ]
+        for i, o in zip(rest, outs):
+            perm_outs[i] = o
         out_it = iter(perm_outs)
         totals: List[Optional[ExtVal]] = []
         total_devs = []
@@ -771,18 +793,33 @@ def prove(
                 pre_cm.lde if pre_cm is not None else None, pub,
             ))
             q_sps.append(sp)
-        if use_batch and len(q_items) > 1:
-            qms = []
-            for chunk in _chunks(q_items):
-                qms.extend(compute_quotients_batched(chunk, alpha_q, config))
+        qms: List[Optional[jnp.ndarray]] = [None] * len(q_items)
+        q_rest = []
+        for i, (a, cons, lm, lp, ch, ln, sp, lpre, pub) in enumerate(q_items):
+            out = (
+                quotient_fn(a, cons, lm, lp, ch, alpha_q, ln, sp, lpre, pub)
+                if quotient_fn is not None
+                else None
+            )
+            if out is None:
+                q_rest.append(i)
+            else:
+                qms[i] = out
+        q_rest_items = [q_items[i] for i in q_rest]
+        if use_batch and len(q_rest_items) > 1:
+            q_outs = []
+            for chunk in _chunks(q_rest_items):
+                q_outs.extend(compute_quotients_batched(chunk, alpha_q, config))
         else:
-            qms = [
+            q_outs = [
                 compute_quotient(
                     a, cons, lm, lp, ch, alpha_q, ln, config,
                     shift_pow=sp, lde_pre=lpre, publics=pub,
                 )
-                for a, cons, lm, lp, ch, ln, sp, lpre, pub in q_items
+                for a, cons, lm, lp, ch, ln, sp, lpre, pub in q_rest_items
             ]
+        for i, o in zip(q_rest, q_outs):
+            qms[i] = o
         q_entries = list(zip(qms, q_sps))
         quotients = pcs.commit_round(q_entries, config, commit_fn=batched_fn)
         observe_roots(quotients)
@@ -810,6 +847,10 @@ def prove(
             points.append([zeta])
 
         _progress(f"round 4: batch opening ({len(matrices)} matrices)")
+        if pre_open_fn is not None:
+            # mesh prover: replicate sharded commitments in one bulk
+            # transfer so the opening-phase jits stay single-device
+            pre_open_fn(matrices)
         openings.append(pcs.open_matrices(matrices, points, config, challenger))
         all_perms.extend(perms)
         all_quotients.extend(quotients)

@@ -62,13 +62,13 @@ def test_optimize_keccak_regression():
     """Parity regression gate vs the reference optimizer's golden counts
     (/root/reference/autoprecompiles/tests/optimizer.rs:105-112: keccak
     lands at 2021 columns / 1734 bus interactions).  Our pipeline currently
-    reaches 2399/2060 (1.19x); these bounds pin that level so any
-    optimizer regression fails loudly.  Tighten when the optimizer
+    reaches 2221/1902 (1.10x interactions); these bounds pin that level so
+    any optimizer regression fails loudly.  Tighten when the optimizer
     improves."""
     apc = _fixture("keccak_apc_pre_opt.json.gz")
     out, report = optimize_machine(apc.machine, bus_map=apc.bus_map)
-    assert report.after["columns"] <= 2399, report.after
-    assert report.after["bus_interactions"] <= 2060, report.after
+    assert report.after["columns"] <= 2221, report.after
+    assert report.after["bus_interactions"] <= 1902, report.after
     assert report.after["constraints"] <= 215, report.after
 
 

@@ -86,6 +86,7 @@ def test_sharded_perm_bit_exact(guest_chips, mesh):
     assert checked >= 2  # at least an instruction chip + the range table
 
 
+@pytest.mark.slow
 def test_sharded_quotient_bit_exact(guest_chips, mesh):
     from powdr_tpu.parallel.quotient import compute_quotient_sharded
     from powdr_tpu.stark.air import (
@@ -129,3 +130,22 @@ def test_sharded_quotient_bit_exact(guest_chips, mesh):
         np.testing.assert_array_equal(np.asarray(qs), np.asarray(q1))
         checked += 1
     assert checked >= 2
+
+
+@pytest.mark.slow
+def test_prove_on_mesh_sharded_downstream_bit_exact(guest_chips, mesh):
+    """`prove_on_mesh(downstream="sharded")` on the REAL guest chip set:
+    perm + quotient run through the explicit shard_map kernels on every
+    chip tall enough (incl. the 2^12 range table), periphery chips fall
+    back, and the proof is byte-identical to the single-device prover's
+    and verifies with the unchanged host verifier (VERDICT r3 #6)."""
+    from powdr_tpu.parallel.prover import prove_on_mesh
+    from powdr_tpu.stark import serialize, verifier
+    from powdr_tpu.stark.challenger import Challenger
+
+    single = prover.prove(guest_chips, CFG, Challenger())
+    sharded = prove_on_mesh(
+        guest_chips, CFG, Challenger(), mesh, downstream="sharded"
+    )
+    assert serialize.proof_to_bytes(sharded) == serialize.proof_to_bytes(single)
+    verifier.verify([a for a, _ in guest_chips], sharded, CFG, Challenger())
