@@ -17,7 +17,10 @@ import argparse
 import functools
 import json
 import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -27,13 +30,22 @@ def main():
     ap.add_argument("--iters", type=int, default=8)
     args = ap.parse_args()
 
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
     flags = os.environ.get("XLA_FLAGS", "")
     if "host_platform_device_count" not in flags:
         os.environ["XLA_FLAGS"] = (
             flags + f" --xla_force_host_platform_device_count={args.devices}"
         ).strip()
     import jax
+
+    # the container's sitecustomize boots the axon (tunneled-TPU) PJRT
+    # plugin with jax_platforms="axon,cpu" — env vars alone can't override
+    # it, so force the virtual CPU platform the way tests/conftest.py does
+    jax.config.update("jax_platforms", "cpu")
+    from jax.extend.backend import clear_backends
+
+    clear_backends()
+    assert jax.devices()[0].platform == "cpu", jax.devices()
+    assert len(jax.devices()) >= args.devices
     import jax.numpy as jnp
     import numpy as np
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
